@@ -1,0 +1,203 @@
+"""Experiment configuration.
+
+The reference drives experiments from YAML configs plus argparse overrides
+(R: config/*.yaml, SURVEY.md section 2.1 #2): model dims, optimizer, meta
+params (inner-lr, inner-steps, k-shot, tasks-per-batch). Here the same idea
+as typed dataclasses; ``load_config``/``save_config`` round-trip YAML, and
+dotted-key overrides mirror the reference's CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+from metaasr_tpu import constants
+
+
+@dataclass
+class FrontendConfig:
+    sample_rate: int = constants.SAMPLE_RATE
+    frame_length_ms: float = constants.FRAME_LENGTH_MS
+    frame_shift_ms: float = constants.FRAME_SHIFT_MS
+    n_fft: int = constants.N_FFT
+    num_mel_bins: int = constants.FEAT_DIM
+    low_freq: float = constants.MEL_LOW_FREQ
+    high_freq: float = constants.MEL_HIGH_FREQ
+    preemphasis: float = constants.PREEMPHASIS
+    dither: float = 0.0          # pinned to 0 for bit-comparable tests
+    remove_dc_offset: bool = True
+    window: str = "povey"
+    cmvn: str = "utterance"      # "utterance" | "none"
+    cmvn_norm_var: bool = False
+    use_pallas: bool = True      # fused Pallas kernel vs pure-jax reference path
+
+
+@dataclass
+class SpecAugmentConfig:
+    enabled: bool = True
+    num_freq_masks: int = 2
+    freq_mask_width: int = 27
+    num_time_masks: int = 2
+    time_mask_width: int = 70
+    time_mask_max_ratio: float = 0.2  # cap mask at ratio * valid length
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "transformer"  # "transformer" | "vgg_blstm"
+    feat_dim: int = constants.FEAT_DIM
+    vocab_size: int = 30
+    # transformer (ESPnet-lineage dims, SURVEY.md section 2.1 #9)
+    d_model: int = 256
+    num_heads: int = 4
+    d_ff: int = 2048
+    num_encoder_layers: int = 12
+    num_decoder_layers: int = 6
+    dropout: float = 0.1
+    # vgg_blstm (SURVEY.md section 2.1 #8)
+    blstm_hidden: int = 320
+    blstm_layers: int = 4
+    vgg_channels: tuple = (64, 128)
+    # joint loss (SURVEY.md section 3.2)
+    ctc_weight: float = 0.3
+    label_smoothing: float = 0.1
+    dtype: str = "bfloat16"  # compute dtype; params stay fp32
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adam"
+    lr: float = 1e-3
+    warmup_steps: int = 4000       # Noam-style warmup for transformer
+    schedule: str = "noam"         # "noam" | "constant"
+    grad_clip: float = 5.0
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.98
+    adam_eps: float = 1e-9
+
+
+@dataclass
+class MetaConfig:
+    algo: str = "fomaml"           # "no" | "multi" | "fomaml" | "maml"
+    inner_lr: float = 1e-2
+    inner_steps: int = 3
+    k_support: int = 4             # utterances per inner (support) batch
+    k_query: int = 4               # utterances per query batch
+    tasks_per_batch: int = 4       # accents per meta-batch
+    adapt_steps: int = 5           # k-shot adaptation steps at meta-test
+    remat_inner: bool = True       # jax.checkpoint each inner step (MAML memory)
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "data/synthetic"
+    accents: tuple = ()            # empty -> all accents in the manifest dir
+    heldout_accents: tuple = ()
+    batch_size: int = 16
+    max_frames: int = 1600         # pre-subsampling length cap
+    max_tokens: int = 128
+    frame_buckets: tuple = (256, 512, 1024, 1600)
+    token_buckets: tuple = (32, 64, 128)
+    vocab: str = "char"            # "char" | "phone"
+    num_workers: int = 0
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    # Logical mesh axes: meta tasks shard over "task", within-task batch over
+    # "data" (BASELINE.json:11; SURVEY.md section 2.3 / 5.8).
+    task_axis: int = 1
+    data_axis: int = -1            # -1: use all remaining devices
+
+
+@dataclass
+class TrainConfig:
+    mode: str = "train"            # "train" | "adapt" | "test"
+    max_steps: int = 10000
+    eval_every: int = 1000
+    log_every: int = 100
+    ckpt_every: int = 1000
+    ckpt_dir: str = "ckpts"
+    keep_best_metric: str = "dev_wer"
+    seed: int = 0
+    beam_size: int = 10
+    decode_ctc_weight: float = 0.3
+    length_penalty: float = 0.0
+
+
+@dataclass
+class Config:
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    specaug: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    meta: MetaConfig = field(default_factory=MetaConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+def _from_dict(cls, d: dict):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {cls.__name__}.{k}")
+        ftype = fields[k].type
+        if isinstance(v, dict):
+            sub = fields[k].default_factory() if fields[k].default_factory is not dataclasses.MISSING else None
+            kwargs[k] = _from_dict(type(sub), v) if sub is not None else v
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+        del ftype
+    return cls(**kwargs)
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> Config:
+    """Load YAML config; apply dotted-key overrides (e.g. ``meta.inner_lr``)."""
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        merged = to_dict(cfg)
+        _deep_update(merged, raw)
+        cfg = _from_dict(Config, merged)
+    if overrides:
+        d = to_dict(cfg)
+        for key, val in overrides.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown override {key}")
+            node[parts[-1]] = val
+        cfg = _from_dict(Config, d)
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def _deep_update(base: dict, upd: dict) -> None:
+    for k, v in upd.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v

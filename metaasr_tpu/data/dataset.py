@@ -1,0 +1,119 @@
+"""Per-accent dataset over JSONL manifests.
+
+The reference reads Common Voice tsv manifests per accent and loads
+precomputed fbank or raw audio (R: src/dataset.py, SURVEY.md section 2.1 #12).
+Here the manifest is JSONL, one utterance per line:
+
+    {"id": "...", "wav": "rel/path.wav", "text": "...", "phones": "...",
+     "num_samples": 48000}
+
+Raw audio is the canonical payload: the front-end (fbank/CMVN/SpecAugment)
+runs ON DEVICE as one fused kernel over padded waveform batches
+(BASELINE.json:5), so the host side only decodes, pads, and batches.
+Precomputed-feature manifests ("feats": "rel/path.npy") are also supported
+for parity with the reference's offline-extraction mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from metaasr_tpu.data.audio_io import load_wav
+
+
+@dataclass(frozen=True)
+class Utterance:
+    utt_id: str
+    text: str
+    phones: str
+    num_samples: int
+    wav: str | None = None
+    feats: str | None = None
+
+
+@dataclass
+class Manifest:
+    accent: str
+    root: str
+    utts: list[Utterance]
+
+    @classmethod
+    def load(cls, path: str, accent: str | None = None) -> "Manifest":
+        root = os.path.dirname(os.path.abspath(path))
+        name = accent or os.path.splitext(os.path.basename(path))[0]
+        utts = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                utts.append(
+                    Utterance(
+                        utt_id=d["id"],
+                        text=d.get("text", ""),
+                        phones=d.get("phones", ""),
+                        num_samples=int(d["num_samples"]),
+                        wav=d.get("wav"),
+                        feats=d.get("feats"),
+                    )
+                )
+        return cls(accent=name, root=root, utts=utts)
+
+
+class AccentDataset:
+    """Random-access utterances of one accent: audio + transcript tokens."""
+
+    def __init__(self, manifest: Manifest, tokenizer, vocab: str = "char",
+                 sample_rate: int = 16000):
+        self.manifest = manifest
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+        self.sample_rate = sample_rate
+
+    @property
+    def accent(self) -> str:
+        return self.manifest.accent
+
+    def __len__(self) -> int:
+        return len(self.manifest.utts)
+
+    def transcript(self, i: int) -> str:
+        u = self.manifest.utts[i]
+        return u.phones if self.vocab == "phone" else u.text
+
+    def __getitem__(self, i: int) -> dict:
+        u = self.manifest.utts[i]
+        tokens = self.tokenizer.encode(self.transcript(i))
+        if u.wav is not None:
+            audio = load_wav(os.path.join(self.manifest.root, u.wav), self.sample_rate)
+            return {"utt_id": u.utt_id, "audio": audio, "tokens": tokens,
+                    "text": self.transcript(i)}
+        feats = np.load(os.path.join(self.manifest.root, u.feats))
+        return {"utt_id": u.utt_id, "feats": feats.astype(np.float32),
+                "tokens": tokens, "text": self.transcript(i)}
+
+
+def discover_accents(data_dir: str) -> list[str]:
+    """All accents with a ``<accent>.jsonl`` manifest under ``data_dir``."""
+    out = []
+    for fn in sorted(os.listdir(data_dir)):
+        if fn.endswith(".jsonl"):
+            out.append(fn[: -len(".jsonl")])
+    return out
+
+
+def load_accent_datasets(data_dir: str, tokenizer, accents=(), vocab="char",
+                         sample_rate=16000) -> dict[str, AccentDataset]:
+    names = list(accents) or discover_accents(data_dir)
+    return {
+        name: AccentDataset(
+            Manifest.load(os.path.join(data_dir, f"{name}.jsonl"), accent=name),
+            tokenizer, vocab=vocab, sample_rate=sample_rate,
+        )
+        for name in names
+    }

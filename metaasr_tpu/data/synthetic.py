@@ -1,0 +1,108 @@
+"""Synthetic multi-accent speech-like dataset.
+
+No network access in this environment, so real Common Voice audio is
+unavailable (SURVEY.md section 7 'hard parts'). This generator produces a
+drop-in replacement with the SAME manifest interface as real data
+(dataset.py), designed so the task is genuinely learnable and accents
+genuinely differ (meta-learning has signal):
+
+- a small fixed lexicon of pseudo-words; transcripts are word sequences
+  (WER is meaningful);
+- each character is rendered as a short harmonic tone burst whose base
+  frequency encodes the character identity;
+- each ACCENT applies a systematic transform: pitch scaling, harmonic tilt,
+  speaking rate, and a fixed formant-like spectral envelope. Within-accent
+  utterances share the transform; across accents it differs — exactly the
+  structure MAML exploits (fast adaptation to a new accent's transform).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from metaasr_tpu.data.audio_io import write_wav
+
+LEXICON = (
+    "aba bede cide dofu egi fona gute hiba ije kelo lumi mano nipe ogu "
+    "pade qui rosa situ tule uvo wabe xen yolo zumi bro cla dri fle gno"
+).split()
+
+ACCENTS = ("alpha", "bravo", "echo", "delta", "india", "kilo", "oscar", "tango")
+
+
+def _accent_params(accent_idx: int, rng: np.random.Generator) -> dict:
+    return {
+        "pitch": 1.0 + 0.08 * (accent_idx - 3.5) + 0.01 * rng.standard_normal(),
+        "rate": 1.0 + 0.10 * ((accent_idx % 4) - 1.5),
+        "tilt": 0.5 + 0.12 * (accent_idx % 3),
+        "env_phase": 2 * np.pi * accent_idx / 8.0,
+    }
+
+
+def synth_utterance(text: str, accent_params: dict, rng: np.random.Generator,
+                    sample_rate: int = 16000) -> np.ndarray:
+    """Render ``text`` (chars a-z + space) to a waveform."""
+    seg_dur = 0.09 / accent_params["rate"]
+    seg_len = int(seg_dur * sample_rate)
+    pieces = []
+    t = np.arange(seg_len) / sample_rate
+    for ch in text.lower():
+        if ch == " ":
+            pieces.append(np.zeros(seg_len // 2, dtype=np.float32))
+            continue
+        if not ("a" <= ch <= "z"):
+            continue
+        k = ord(ch) - ord("a")
+        f0 = (180.0 + 28.0 * k) * accent_params["pitch"]
+        sig = np.zeros(seg_len)
+        for h in range(1, 4):
+            amp = accent_params["tilt"] ** (h - 1)
+            # formant-like accent envelope: fixed per accent, varies with harmonic
+            amp *= 1.0 + 0.3 * np.sin(accent_params["env_phase"] + h)
+            sig += amp * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+        # attack/decay envelope to avoid clicks
+        env = np.minimum(np.arange(seg_len), seg_len - np.arange(seg_len))
+        env = np.minimum(env / (0.1 * seg_len), 1.0)
+        pieces.append((sig * env).astype(np.float32))
+    if not pieces:
+        pieces = [np.zeros(seg_len, dtype=np.float32)]
+    wav = np.concatenate(pieces)
+    wav += 0.01 * rng.standard_normal(len(wav)).astype(np.float32)
+    peak = np.abs(wav).max()
+    return (0.6 * wav / max(peak, 1e-6)).astype(np.float32)
+
+
+def generate_dataset(data_dir: str, accents=ACCENTS, utts_per_accent: int = 64,
+                     words_per_utt: tuple[int, int] = (2, 5), seed: int = 0,
+                     sample_rate: int = 16000, write_wavs: bool = True) -> None:
+    """Write ``<accent>.jsonl`` manifests + WAVs under ``data_dir``."""
+    os.makedirs(data_dir, exist_ok=True)
+    master = np.random.default_rng(seed)
+    for ai, accent in enumerate(accents):
+        rng = np.random.default_rng(master.integers(2**31) + ai)
+        params = _accent_params(ai, rng)
+        wav_dir = os.path.join(data_dir, "wav", accent)
+        if write_wavs:
+            os.makedirs(wav_dir, exist_ok=True)
+        lines = []
+        for ui in range(utts_per_accent):
+            n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+            words = [LEXICON[int(rng.integers(len(LEXICON)))] for _ in range(n_words)]
+            text = " ".join(words)
+            wav = synth_utterance(text, params, rng, sample_rate)
+            utt_id = f"{accent}_{ui:04d}"
+            rel = os.path.join("wav", accent, f"{utt_id}.wav")
+            if write_wavs:
+                write_wav(os.path.join(data_dir, rel), wav, sample_rate)
+            lines.append(json.dumps({
+                "id": utt_id,
+                "wav": rel,
+                "text": text,
+                "phones": " ".join(c.upper() for c in text if c != " "),
+                "num_samples": len(wav),
+            }))
+        with open(os.path.join(data_dir, f"{accent}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")

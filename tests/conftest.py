@@ -1,0 +1,31 @@
+"""Test env: force the jax CPU backend with 8 virtual devices so real
+pjit/Mesh code runs in CI without a pod (SURVEY.md section 4.5).
+
+Must run before any module imports jax.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_data_dir(tmp_path_factory):
+    """Small synthetic multi-accent dataset shared across tests."""
+    from metaasr_tpu.data.synthetic import generate_dataset
+
+    d = tmp_path_factory.mktemp("synth")
+    generate_dataset(str(d), accents=("alpha", "bravo", "echo", "delta"),
+                     utts_per_accent=12, words_per_utt=(1, 2), seed=0)
+    return str(d)

@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize pre-registers the TPU plugin and pins
+# JAX_PLATFORMS=axon before conftest runs; override via jax.config too.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and jax.device_count() == 8
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,161 @@
+"""Mono (single-accent) and multitask (multi-accent) trainers.
+
+Reference behavior (R: src/mono_interface.py / src/multi_interface.py,
+SURVEY.md section 2.1 #3-#4, section 3.4): standard loop — batch -> forward
+-> loss -> optimizer step; periodic dev eval (CER/WER) with best-checkpoint
+tracking; multitask pools accents with sampling proportional to data size
+(BASELINE.json:8).
+
+TPU shape: one jitted ``train_step`` per bucket shape (static shapes,
+bounded jit cache); params donated to avoid copies.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+
+import jax
+import optax
+from flax import struct
+
+from metaasr_tpu.config import Config
+from metaasr_tpu.data.sampler import BucketBatcher, collate
+from metaasr_tpu.decode.greedy import greedy_to_texts
+from metaasr_tpu.train.checkpoint import CheckpointManager
+from metaasr_tpu.train.logging import MetricLogger
+from metaasr_tpu.train.metrics import compute_cer, compute_wer
+from metaasr_tpu.train.optimizer import make_optimizer
+from metaasr_tpu.train.task import ASRTask
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: tuple
+    step: int
+    rng: jax.Array
+
+
+def device_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k != "texts"}
+
+
+class MonoASRTrainer:
+    """Single- or pooled-accent supervised trainer (modes train/test)."""
+
+    def __init__(self, cfg: Config, task: ASRTask, train_datasets,
+                 dev_dataset, tokenizer, workdir: str):
+        self.cfg = cfg
+        self.task = task
+        self.tokenizer = tokenizer
+        self.train_datasets = (train_datasets if isinstance(train_datasets, list)
+                               else [train_datasets])
+        self.dev_dataset = dev_dataset
+        self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
+        self.ckpt = CheckpointManager(f"{workdir}/ckpts")
+        self.logger = MetricLogger(f"{workdir}/logs",
+                                   print_every=cfg.train.log_every)
+        self.batcher = BucketBatcher(
+            self.train_datasets, cfg.data.batch_size,
+            seed=cfg.data.seed)
+        self._jit_step = jax.jit(self._train_step, donate_argnums=0)
+
+    def init_state(self, batch=None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        if batch is None:
+            batch = next(iter(self.batcher))
+        params = self.task.init_params(rng, device_batch(batch))
+        return TrainState(params=params,
+                          opt_state=self.optimizer.init(params),
+                          step=0, rng=rng)
+
+    def _train_step(self, state: TrainState, batch: dict):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            self.task.loss_fn, has_aux=True)(state.params, batch, rng, True)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=state.rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def train(self, max_steps: int | None = None) -> TrainState:
+        cfg = self.cfg.train
+        max_steps = max_steps or cfg.max_steps
+        state = self.init_state()
+        state, _restored_step = self.ckpt.restore(state)
+        best_metric = float("inf")
+        data = itertools.chain.from_iterable(iter(self.batcher) for _ in itertools.count())
+        t0, utts = time.time(), 0
+        for batch in data:
+            if int(state.step) >= max_steps:
+                break
+            state, metrics = self._jit_step(state, device_batch(batch))
+            utts += len(batch["texts"])
+            step = int(state.step)
+            if step % cfg.log_every == 0:
+                dt = time.time() - t0
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["utts_per_sec"] = utts / max(dt, 1e-6)
+                self.logger.log(step, metrics)
+                t0, utts = time.time(), 0
+            if step % cfg.eval_every == 0 and self.dev_dataset is not None:
+                dev = self.evaluate(state.params, self.dev_dataset)
+                self.logger.log(step, {f"dev_{k}": v for k, v in dev.items()})
+                is_best = dev.get("cer", dev.get("wer", 1e9)) < best_metric
+                if is_best:
+                    best_metric = dev.get("cer", dev.get("wer", 1e9))
+                self.ckpt.save(step, state, dev, is_best=is_best)
+            elif step % cfg.ckpt_every == 0:
+                self.ckpt.save(step, state)
+        self.ckpt.save(int(state.step), state)
+        self.ckpt.wait()
+        return state
+
+    def evaluate(self, params, dataset, max_utts: int = 200) -> dict:
+        """Greedy-CTC dev scoring (CER/WER) — the reference's per-epoch
+        dev metric (SURVEY.md section 3.4)."""
+        hyps, refs = [], []
+        bsz = self.cfg.data.batch_size
+        idx = list(range(min(len(dataset), max_utts)))
+        for i in range(0, len(idx), bsz):
+            items = [dataset[j] for j in idx[i: i + bsz]]
+            smax = max(1, max(len(it["audio"]) for it in items))
+            umax = max(1, max(len(it["tokens"]) for it in items))
+            batch = collate(items, smax, umax)
+            packed, out_lens = self.task.greedy_ctc(
+                params, batch["audio"], batch["audio_lens"])
+            hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
+            refs.extend(batch["texts"])
+        return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
+
+
+class MultitaskASRTrainer(MonoASRTrainer):
+    """Multi-accent joint training, no meta (BASELINE.json:8): pooled
+    utterances => accents sampled proportional to data size."""
+
+    def __init__(self, cfg: Config, task: ASRTask, accent_datasets: dict,
+                 dev_dataset, tokenizer, workdir: str):
+        super().__init__(cfg, task, list(accent_datasets.values()),
+                         dev_dataset, tokenizer, workdir)
+        self.accents = sorted(accent_datasets)
+
+
+def quick_eval_cer(task: ASRTask, params, dataset, tokenizer,
+                   max_utts: int = 50, batch_size: int = 8) -> float:
+    """Standalone greedy-CTC CER helper (used by meta-adapt eval too)."""
+    hyps, refs = [], []
+    idx = list(range(min(len(dataset), max_utts)))
+    for i in range(0, len(idx), batch_size):
+        items = [dataset[j] for j in idx[i: i + batch_size]]
+        smax = max(1, max(len(it["audio"]) for it in items))
+        batch = collate(items, smax, 8)
+        packed, out_lens = task.greedy_ctc(params, batch["audio"],
+                                           batch["audio_lens"])
+        hyps.extend(greedy_to_texts(packed, out_lens, tokenizer))
+        refs.extend(batch["texts"])
+    return compute_cer(hyps, refs)

@@ -1,0 +1,139 @@
+"""ASRTask — the single bridge between data batches and differentiable loss.
+
+Everything trainable routes through ``ASRTask.loss_fn(params, batch, rng,
+train)``: the mono/multitask trainers differentiate it directly, and the
+MAML/FOMAML trainers differentiate it inside inner/outer loops (SURVEY.md
+section 3.1-3.2). The full pipeline — waveform -> fbank -> CMVN ->
+SpecAugment -> model -> loss — is on-device and jit-compatible, so one
+``jax.jit``/``jax.grad``/``jax.vmap`` composes over all of it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from metaasr_tpu.config import Config
+from metaasr_tpu.frontend.fbank import FbankParams, log_mel_fbank, num_frames
+from metaasr_tpu.frontend.specaug import spec_augment
+from metaasr_tpu.models.losses import (
+    joint_ctc_attention_loss,
+    prepare_decoder_targets,
+)
+from metaasr_tpu.models.transformer import TransformerASR
+from metaasr_tpu.models.vgg_blstm import VGGBLSTMCTC
+from metaasr_tpu.ops.ctc import ctc_loss
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
+    if m.arch == "vgg_blstm":
+        return VGGBLSTMCTC(vocab_size=m.vocab_size, blstm_hidden=m.blstm_hidden,
+                           blstm_layers=m.blstm_layers,
+                           vgg_channels=tuple(m.vgg_channels), dtype=dtype)
+    if m.arch == "transformer":
+        return TransformerASR(vocab_size=m.vocab_size, d_model=m.d_model,
+                              num_heads=m.num_heads, d_ff=m.d_ff,
+                              num_encoder_layers=m.num_encoder_layers,
+                              num_decoder_layers=m.num_decoder_layers,
+                              dropout=m.dropout, dtype=dtype)
+    raise ValueError(f"unknown arch {m.arch}")
+
+
+class ASRTask:
+    """Stateless (pure-function) wrapper: model + front-end + loss."""
+
+    def __init__(self, cfg: Config, sos_eos_id: int | None = None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.arch = cfg.model.arch
+        self.sos_eos_id = (sos_eos_id if sos_eos_id is not None
+                           else cfg.model.vocab_size - 1)
+        f = cfg.frontend
+        self.fbank_params = FbankParams.create(
+            num_mel_bins=f.num_mel_bins, preemphasis=f.preemphasis,
+            remove_dc_offset=f.remove_dc_offset, low_freq=f.low_freq,
+            high_freq=f.high_freq, sample_rate=f.sample_rate)
+
+    # ---------- features ----------
+
+    def features(self, audio, audio_lens, rng=None, train: bool = False):
+        f = self.cfg.frontend
+        feats, feat_lens = log_mel_fbank(
+            audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
+            cmvn_norm_var=f.cmvn_norm_var,
+            dither=f.dither if train else 0.0,
+            rng=rng)
+        if train and self.cfg.specaug.enabled and rng is not None:
+            sa = self.cfg.specaug
+            feats = spec_augment(
+                jax.random.fold_in(rng, 1), feats, feat_lens,
+                num_freq_masks=sa.num_freq_masks,
+                freq_mask_width=sa.freq_mask_width,
+                num_time_masks=sa.num_time_masks,
+                time_mask_width=sa.time_mask_width,
+                time_mask_max_ratio=sa.time_mask_max_ratio)
+        return feats, feat_lens
+
+    # ---------- init ----------
+
+    def init_params(self, rng, batch):
+        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"])
+        p_rng, d_rng = jax.random.split(rng)
+        if self.arch == "vgg_blstm":
+            return self.model.init({"params": p_rng, "dropout": d_rng},
+                                   feats, feat_lens)["params"]
+        tokens_in, _, _ = prepare_decoder_targets(
+            batch["tokens"], batch["token_lens"], self.sos_eos_id)
+        return self.model.init({"params": p_rng, "dropout": d_rng},
+                               feats, feat_lens, tokens_in,
+                               batch["token_lens"] + 1)["params"]
+
+    # ---------- loss ----------
+
+    def loss_fn(self, params, batch, rng=None, train: bool = False):
+        """-> (scalar loss, metrics dict). Differentiable w.r.t. params."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        f_rng, d_rng = jax.random.split(rng)
+        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"],
+                                        f_rng, train)
+        rngs = {"dropout": d_rng} if train else None
+        if self.arch == "vgg_blstm":
+            logits, out_lens = self.model.apply(
+                {"params": params}, feats, feat_lens, train, rngs=rngs)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = ctc_loss(lp, out_lens, batch["tokens"], batch["token_lens"])
+            loss = nll.mean()
+            return loss, {"loss": loss, "ctc_loss": loss}
+        tokens_in, _, _ = prepare_decoder_targets(
+            batch["tokens"], batch["token_lens"], self.sos_eos_id)
+        outputs = self.model.apply(
+            {"params": params}, feats, feat_lens, tokens_in,
+            batch["token_lens"] + 1, train, rngs=rngs)
+        return joint_ctc_attention_loss(
+            outputs, batch["tokens"], batch["token_lens"], self.sos_eos_id,
+            ctc_weight=self.cfg.model.ctc_weight,
+            label_smoothing=self.cfg.model.label_smoothing)
+
+    # ---------- decode (greedy CTC; beam search lives in decode/) ----------
+
+    @partial(jax.jit, static_argnums=0)
+    def greedy_ctc(self, params, audio, audio_lens):
+        from metaasr_tpu.decode.greedy import ctc_greedy_decode
+
+        feats, feat_lens = self.features(audio, audio_lens)
+        if self.arch == "vgg_blstm":
+            logits, out_lens = self.model.apply({"params": params}, feats,
+                                                feat_lens, False)
+        else:
+            logits, out_lens = self.model.apply(
+                {"params": params}, feats, feat_lens, False,
+                method=self.model.ctc_logits_only)
+        return ctc_greedy_decode(logits, out_lens)
+
+    def frame_cap(self, num_samples: int) -> int:
+        return num_frames(num_samples)

@@ -43,12 +43,11 @@ def subsampled_lengths(lengths: jax.Array, factor: int = 4) -> jax.Array:
 def vgg_subsampled_lengths(lengths: jax.Array) -> jax.Array:
     """Length bookkeeping through the VGG extractor (2x maxpool-2 => /4).
 
-    Kaldi/ESPnet VGG2L convention: ceil division per pool
-    (pool with ceil_mode): L -> ceil(L/2) twice.
+    VALID 2x2 max-pool with stride 2: L -> floor(L/2), applied twice.
     """
     out = lengths.astype(jnp.int32)
     for _ in range(2):
-        out = (out + 1) // 2
+        out = out // 2
     return jnp.maximum(out, 1)
 
 

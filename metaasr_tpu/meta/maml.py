@@ -1,0 +1,127 @@
+"""MAML / FOMAML as pure function transforms (the framework's core).
+
+The reference meta-trains by COPYING the model per accent task and running
+inner SGD on the copy, sequentially per task (R: src/fomaml_interface.py /
+src/maml_interface.py; SURVEY.md section 2.1 #5-#6, section 3.1;
+BASELINE.json:5,9,10). That orchestration is pure overhead on TPU.
+
+TPU-native formulation (BASELINE.json:5 "jax.grad-over-grad ... inner SGD
+steps unrolled under jit and accent tasks vmapped"):
+
+- the inner loop is ``inner_steps`` UNROLLED functional SGD updates:
+  ``p_{i+1} = p_i - lr * grad(loss)(p_i, support)`` — no copies, no
+  optimizer objects; each step optionally ``jax.checkpoint``-ed so full
+  second-order MAML's memory stays bounded (SURVEY.md section 7 'hard
+  parts');
+- FOMAML = ``stop_gradient`` on each inner gradient: the adapted params
+  then depend on the originals with identity Jacobian, so the outer grad
+  is exactly the query gradient at the adapted point (first-order MAML);
+- full MAML = same code WITHOUT stop_gradient: ``jax.grad`` of the query
+  loss through the unrolled inner updates is grad-over-grad;
+- tasks are ``vmap``-ped over a leading axis [M, ...]; the outer gradient
+  is the mean over the task axis. Under pjit with the task axis sharded
+  over the mesh, that mean IS the only collective of the whole meta-step
+  (one psum; SURVEY.md section 5.8).
+
+Everything here is generic over ``loss_fn(params, batch, rng, train) ->
+(scalar, aux)`` so the meta-gradient math is unit-tested against the
+analytic quadratic family (SURVEY.md section 4.3) and reused verbatim by
+the ASR task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class MetaAlgoConfig:
+    inner_lr: float = 1e-2
+    inner_steps: int = 3
+    first_order: bool = True
+    remat_inner: bool = True
+
+
+LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
+
+
+def sgd_update(params, grads, lr):
+    return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+
+def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
+                     train: bool = True) -> Callable:
+    """Returns ``inner_adapt(params, support_batch, rng) -> adapted_params``.
+
+    Differentiable through the unrolled steps unless cfg.first_order.
+    """
+
+    def one_step(params, step_rng, batch):
+        grads = jax.grad(lambda p: loss_fn(p, batch, step_rng, train)[0])(params)
+        if cfg.first_order:
+            grads = jax.lax.stop_gradient(grads)
+        return sgd_update(params, grads, cfg.inner_lr)
+
+    if cfg.remat_inner:
+        one_step = jax.checkpoint(one_step)
+
+    def inner_adapt(params, support_batch, rng):
+        for i in range(cfg.inner_steps):
+            params = one_step(params, jax.random.fold_in(rng, i), support_batch)
+        return params
+
+    return inner_adapt
+
+
+def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig) -> Callable:
+    """Returns ``meta_loss(params, meta_batch, rng) -> (scalar, aux)``.
+
+    meta_batch: pytree whose leaves have leading task axis M, with fields
+    ``support`` and ``query`` (each a batch pytree). The task dimension is
+    vmapped; aux carries per-task support/query losses for logging
+    (SURVEY.md section 2.1 #19 'per-task inner/outer loss').
+    """
+    inner_adapt = make_inner_adapt(loss_fn, cfg, train=True)
+
+    def per_task(params, support, query, rng):
+        r_in, r_q, r_s = jax.random.split(rng, 3)
+        # support loss BEFORE adaptation (logged as the inner-loop signal)
+        s_loss = loss_fn(params, support, r_s, False)[0]
+        adapted = inner_adapt(params, support, r_in)
+        q_loss, _ = loss_fn(adapted, query, r_q, True)
+        return q_loss, s_loss
+
+    def meta_loss(params, meta_batch, rng):
+        m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
+        rngs = jax.random.split(rng, m)
+        q_losses, s_losses = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
+            params, meta_batch["support"], meta_batch["query"], rngs)
+        # Mean over the task axis: under pjit with tasks sharded over the
+        # mesh this lowers to the meta-step's single gradient psum.
+        return q_losses.mean(), {"task_query_losses": q_losses,
+                                 "task_support_losses": s_losses}
+
+    return meta_loss
+
+
+def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig):
+    """Convenience: returns ``grad_fn(params, meta_batch, rng) ->
+    (grads, metrics)`` suitable for an optax outer optimizer."""
+    meta_loss = make_meta_loss(loss_fn, cfg)
+
+    def grad_fn(params, meta_batch, rng):
+        (loss, aux), grads = jax.value_and_grad(meta_loss, has_aux=True)(
+            params, meta_batch, rng)
+        metrics = {
+            "meta_loss": loss,
+            "query_loss_mean": aux["task_query_losses"].mean(),
+            "query_loss_max": aux["task_query_losses"].max(),
+            "support_loss_mean": aux["task_support_losses"].mean(),
+        }
+        return grads, metrics
+
+    return grad_fn

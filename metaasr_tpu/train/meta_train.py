@@ -1,0 +1,202 @@
+"""Meta-training trainer: ``meta_train`` / ``meta_adapt`` / ``decode``.
+
+Public entry points mirror the reference (BASELINE.json:5; R:
+src/fomaml_interface.py / src/maml_interface.py, SURVEY.md section 2.1
+#5-#7, section 3.1/3.3):
+
+- ``meta_train``: outer loop over meta-batches of accent tasks. One jitted
+  step: vmapped (task-sharded) inner SGD + query grads + outer Adam update.
+- ``meta_adapt``: load meta params fresh, run ``adapt_steps`` inner SGD
+  steps on a held-out accent's k-shot support set.
+- ``decode``: greedy CTC (beam search in decode/beam_search.py) over the
+  held-out accent's test set -> WER/CER (the headline quality metric,
+  BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+import optax
+from flax import struct
+
+from metaasr_tpu.config import Config
+from metaasr_tpu.data.sampler import TaskSampler, collate, support_query_split
+from metaasr_tpu.decode.greedy import greedy_to_texts
+from metaasr_tpu.meta.maml import MetaAlgoConfig, make_inner_adapt, maml_grads
+from metaasr_tpu.parallel.mesh import replicated, shard_meta_batch
+from metaasr_tpu.train.checkpoint import CheckpointManager
+from metaasr_tpu.train.logging import MetricLogger
+from metaasr_tpu.train.metrics import compute_cer, compute_wer
+from metaasr_tpu.train.optimizer import make_optimizer
+from metaasr_tpu.train.task import ASRTask
+
+
+@struct.dataclass
+class MetaTrainState:
+    params: dict
+    opt_state: tuple
+    step: int
+    rng: jax.Array
+
+
+def algo_config(cfg: Config) -> MetaAlgoConfig:
+    algo = cfg.meta.algo
+    if algo not in ("fomaml", "maml"):
+        raise ValueError(f"meta algo must be fomaml|maml, got {algo}")
+    return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
+                          inner_steps=cfg.meta.inner_steps,
+                          first_order=(algo == "fomaml"),
+                          remat_inner=cfg.meta.remat_inner)
+
+
+class MetaASRTrainer:
+    def __init__(self, cfg: Config, task: ASRTask, accent_datasets: dict,
+                 heldout_datasets: dict, tokenizer, workdir: str, mesh=None):
+        self.cfg = cfg
+        self.task = task
+        self.tokenizer = tokenizer
+        self.accent_datasets = accent_datasets
+        self.heldout_datasets = heldout_datasets
+        self.mesh = mesh
+        self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
+        self.ckpt = CheckpointManager(f"{workdir}/ckpts")
+        self.logger = MetricLogger(f"{workdir}/logs",
+                                   print_every=cfg.train.log_every)
+        m = cfg.meta
+        d = cfg.data
+        self.sampler = TaskSampler(
+            accent_datasets, k_support=m.k_support, k_query=m.k_query,
+            tasks_per_batch=m.tasks_per_batch,
+            num_samples=self._num_samples_cap(), num_tokens=d.max_tokens,
+            seed=d.seed)
+        self._grad_fn = maml_grads(self._vmapped_loss_fn(), algo_config(cfg))
+        self._jit_step = self._build_step()
+
+    def _num_samples_cap(self) -> int:
+        # max_frames is a feature-frame cap; convert to raw samples
+        return self.cfg.data.max_frames * 160 + 240
+
+    def _vmapped_loss_fn(self):
+        return self.task.loss_fn
+
+    def _build_step(self):
+        def step(state: MetaTrainState, meta_batch: dict):
+            rng = jax.random.fold_in(state.rng, state.step)
+            grads, metrics = self._grad_fn(state.params, meta_batch, rng)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return MetaTrainState(params=params, opt_state=opt_state,
+                                  step=state.step + 1, rng=state.rng), metrics
+
+        if self.mesh is not None:
+            state_sh = replicated(self.mesh)
+            return jax.jit(step, donate_argnums=0,
+                           in_shardings=(state_sh, None),
+                           out_shardings=(state_sh, None))
+        return jax.jit(step, donate_argnums=0)
+
+    # ---------- entry points ----------
+
+    def init_state(self) -> MetaTrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        mb = self.sampler.sample()
+        sample = {k: v[0] for k, v in mb["support"].items() if k != "texts"}
+        params = self.task.init_params(rng, sample)
+        return MetaTrainState(params=params,
+                              opt_state=self.optimizer.init(params),
+                              step=0, rng=rng)
+
+    def meta_train(self, max_steps: int | None = None) -> MetaTrainState:
+        cfg = self.cfg.train
+        max_steps = max_steps or cfg.max_steps
+        state = self.init_state()
+        state, _ = self.ckpt.restore(state)
+        best = float("inf")
+        t0 = time.time()
+        utts = 0
+        while int(state.step) < max_steps:
+            mb = self.sampler.sample()
+            batch = {s: {k: v for k, v in mb[s].items() if k != "texts"}
+                     for s in ("support", "query")}
+            if self.mesh is not None:
+                batch = shard_meta_batch(self.mesh, mb)
+            state, metrics = self._jit_step(state, batch)
+            utts += (self.cfg.meta.tasks_per_batch
+                     * (self.cfg.meta.k_support * self.cfg.meta.inner_steps
+                        + self.cfg.meta.k_query))
+            step = int(state.step)
+            if step % cfg.log_every == 0:
+                dt = time.time() - t0
+                out = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                out["utts_per_sec"] = utts / max(dt, 1e-6)
+                self.logger.log(step, out)
+                t0, utts = time.time(), 0
+            if step % cfg.eval_every == 0 and self.heldout_datasets:
+                scores = self.eval_heldout(state.params)
+                self.logger.log(step, scores)
+                key = scores.get("heldout_wer_mean", 1e9)
+                is_best = key < best
+                best = min(best, key)
+                self.ckpt.save(step, state, scores, is_best=is_best)
+            elif step % cfg.ckpt_every == 0:
+                self.ckpt.save(step, state)
+        self.ckpt.save(int(state.step), state)
+        self.ckpt.wait()
+        return state
+
+    def meta_adapt(self, params, accent_dataset, adapt_steps: int | None = None,
+                   k_support: int | None = None, seed: int = 0):
+        """k-shot adaptation on a held-out accent: fresh copy of the meta
+        params + inner SGD on one support batch (SURVEY.md section 3.3).
+        Returns (adapted_params, test_indices)."""
+        m = self.cfg.meta
+        steps = adapt_steps or m.adapt_steps
+        k = k_support or m.k_support
+        support, test_idx = support_query_split(
+            accent_dataset, k, self._num_samples_cap(),
+            self.cfg.data.max_tokens, seed=seed)
+        inner = make_inner_adapt(
+            self.task.loss_fn,
+            MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
+                           first_order=True, remat_inner=False),
+            train=True)
+        batch = {kk: jax.numpy.asarray(v) for kk, v in support.items()
+                 if kk != "texts"}
+        adapted = jax.jit(inner)(params, batch, jax.random.PRNGKey(seed))
+        return adapted, test_idx
+
+    def decode(self, params, dataset, indices=None, max_utts: int = 100) -> dict:
+        """Greedy-CTC decode a dataset (or subset) -> WER/CER."""
+        indices = list(indices if indices is not None else range(len(dataset)))
+        indices = indices[:max_utts]
+        hyps, refs = [], []
+        bsz = self.cfg.data.batch_size
+        for i in range(0, len(indices), bsz):
+            items = [dataset[j] for j in indices[i: i + bsz]]
+            smax = max(len(it["audio"]) for it in items)
+            batch = collate(items, smax, self.cfg.data.max_tokens)
+            packed, out_lens = self.task.greedy_ctc(params, batch["audio"],
+                                                    batch["audio_lens"])
+            hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
+            refs.extend(batch["texts"])
+        return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
+
+    def eval_heldout(self, params, max_utts: int = 50) -> dict:
+        """5-shot adapt + decode on every held-out accent
+        (the headline metric, BASELINE.json:2)."""
+        out = {}
+        wers = []
+        for name, ds in self.heldout_datasets.items():
+            adapted, test_idx = self.meta_adapt(params, ds)
+            scores = self.decode(adapted, ds, test_idx, max_utts=max_utts)
+            out[f"heldout_{name}_wer"] = scores["wer"]
+            out[f"heldout_{name}_cer"] = scores["cer"]
+            wers.append(scores["wer"])
+        out["heldout_wer_mean"] = float(np.mean(wers)) if wers else 1.0
+        return out

@@ -1,0 +1,143 @@
+"""M5/M6: meta-gradient correctness on the analytic quadratic family
+(SURVEY.md section 4.3), FOMAML vs MAML divergence, task-vmap averaging,
+and the sharded meta-step on the 8-device CPU mesh (SURVEY.md section 4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metaasr_tpu.meta.maml import MetaAlgoConfig, make_inner_adapt, make_meta_loss, maml_grads
+
+
+def quad_loss(params, batch, rng, train):
+    """0.5 * ||w - c||^2 — inner SGD has closed form."""
+    del rng, train
+    diff = params["w"] - batch["c"]
+    return 0.5 * jnp.sum(diff * diff), {}
+
+
+def _setup(d=5, k=3, lr=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    c_s = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    c_q = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    # closed form: theta_k = c_s + (1-lr)^k (w - c_s)
+    w_k = c_s + (1 - lr) ** k * (w - c_s)
+    return w, c_s, c_q, w_k
+
+
+def test_inner_adapt_closed_form():
+    w, c_s, _, w_k_expected = _setup()
+    for remat in (False, True):
+        cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=3, first_order=True,
+                             remat_inner=remat)
+        inner = make_inner_adapt(quad_loss, cfg)
+        adapted = inner({"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(adapted["w"]),
+                                   np.asarray(w_k_expected), rtol=1e-5)
+
+
+def test_fomaml_gradient_analytic():
+    """FOMAML outer grad == query grad at the adapted point: (w_k - c_q)."""
+    w, c_s, c_q, w_k = _setup()
+    cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=3, first_order=True)
+    grad_fn = maml_grads(quad_loss, cfg)
+    mb = {"support": {"c": c_s[None]}, "query": {"c": c_q[None]}}
+    grads, metrics = grad_fn({"w": w}, mb, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(grads["w"]), np.asarray(w_k - c_q),
+                               rtol=1e-5)
+    expected_loss = 0.5 * float(jnp.sum((w_k - c_q) ** 2))
+    np.testing.assert_allclose(float(metrics["meta_loss"]), expected_loss,
+                               rtol=1e-5)
+
+
+def test_maml_second_order_gradient_analytic():
+    """Full MAML grad == (1-lr)^k * (w_k - c_q) — includes the inner-loop
+    Jacobian, distinguishing second-order from first-order."""
+    lr, k = 0.1, 3
+    w, c_s, c_q, w_k = _setup(lr=lr, k=k)
+    for remat in (False, True):
+        cfg = MetaAlgoConfig(inner_lr=lr, inner_steps=k, first_order=False,
+                             remat_inner=remat)
+        grad_fn = maml_grads(quad_loss, cfg)
+        mb = {"support": {"c": c_s[None]}, "query": {"c": c_q[None]}}
+        grads, _ = grad_fn({"w": w}, mb, jax.random.PRNGKey(0))
+        expect = (1 - lr) ** k * (w_k - c_q)
+        np.testing.assert_allclose(np.asarray(grads["w"]), np.asarray(expect),
+                                   rtol=1e-5)
+    # and it must differ from FOMAML by exactly the (1-lr)^k factor
+    fo = maml_grads(quad_loss, MetaAlgoConfig(inner_lr=lr, inner_steps=k,
+                                              first_order=True))
+    fo_grads, _ = fo({"w": w}, mb, jax.random.PRNGKey(0))
+    ratio = np.asarray(grads["w"]) / np.asarray(fo_grads["w"])
+    np.testing.assert_allclose(ratio, (1 - lr) ** k, rtol=1e-4)
+
+
+def test_task_vmap_averaging():
+    """Outer grad over M tasks == mean of per-task outer grads."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((6, 4)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((6, 4)).astype(np.float32))
+    cfg = MetaAlgoConfig(inner_lr=0.05, inner_steps=2, first_order=False)
+    grad_fn = maml_grads(quad_loss, cfg)
+    grads_all, _ = grad_fn({"w": w}, {"support": {"c": cs}, "query": {"c": cq}},
+                           jax.random.PRNGKey(0))
+    per_task = []
+    for i in range(6):
+        g, _ = grad_fn({"w": w}, {"support": {"c": cs[i: i + 1]},
+                                  "query": {"c": cq[i: i + 1]}},
+                       jax.random.PRNGKey(0))
+        per_task.append(np.asarray(g["w"]))
+    np.testing.assert_allclose(np.asarray(grads_all["w"]),
+                               np.mean(per_task, axis=0), rtol=1e-5)
+
+
+def test_meta_step_sharded_equals_single_device():
+    """Real pjit on the 8-device CPU mesh: task-sharded meta grads must
+    match unsharded numerics (SURVEY.md section 4.5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metaasr_tpu.parallel.mesh import make_mesh, replicated
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    cfg = MetaAlgoConfig(inner_lr=0.05, inner_steps=3, first_order=False)
+    grad_fn = maml_grads(quad_loss, cfg)
+
+    ref_grads, _ = grad_fn({"w": w}, {"support": {"c": cs}, "query": {"c": cq}},
+                           jax.random.PRNGKey(0))
+
+    mesh = make_mesh(num_task=8)
+    assert mesh.shape == {"task": 8, "data": 1}
+    task_sh = NamedSharding(mesh, P("task"))
+    rep = replicated(mesh)
+    sharded_fn = jax.jit(
+        lambda p, mb, r: grad_fn(p, mb, r)[0],
+        in_shardings=(rep, {"support": {"c": task_sh}, "query": {"c": task_sh}},
+                      rep),
+        out_shardings=rep)
+    got = sharded_fn(
+        jax.device_put({"w": w}, rep),
+        {"support": {"c": jax.device_put(cs, task_sh)},
+         "query": {"c": jax.device_put(cq, task_sh)}},
+        jax.device_put(jax.random.PRNGKey(0), rep))
+    np.testing.assert_allclose(np.asarray(got["w"]),
+                               np.asarray(ref_grads["w"]), rtol=1e-5)
+
+
+def test_meta_loss_rng_isolation():
+    """Each task gets an independent rng; same key => deterministic."""
+    def noisy_loss(params, batch, rng, train):
+        noise = jax.random.normal(rng, ())
+        return 0.5 * jnp.sum((params["w"] - batch["c"]) ** 2) + 0.0 * noise, {}
+
+    cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=1, first_order=True)
+    meta_loss = make_meta_loss(noisy_loss, cfg)
+    w = {"w": jnp.ones(3)}
+    mb = {"support": {"c": jnp.zeros((2, 3))}, "query": {"c": jnp.zeros((2, 3))}}
+    l1, _ = meta_loss(w, mb, jax.random.PRNGKey(1))
+    l2, _ = meta_loss(w, mb, jax.random.PRNGKey(1))
+    assert float(l1) == float(l2)

@@ -1,0 +1,135 @@
+"""Headline benchmark: FOMAML meta-train utterances/sec/chip on real TPU
+(BASELINE.json:2), flagship joint CTC-attention transformer, full pipeline
+(waveform -> fused fbank -> SpecAugment -> model -> joint loss -> inner SGD
+vmapped over tasks -> outer Adam).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "utts/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch reference-style implementation
+(bench_baseline_torch.py: sequential copy-the-model FOMAML). The reference's
+GPU is unavailable in this environment, so the torch baseline runs on CPU;
+the result is cached in .bench_baseline.json (delete to re-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+# Must match bench_baseline_torch.py
+M_TASKS = 4
+K_SUPPORT = 4
+K_QUERY = 4
+INNER_STEPS = 3
+NUM_SAMPLES = 64000
+NUM_TOKENS = 32
+VOCAB = 30
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".bench_baseline.json")
+
+
+def measure_jax(steps: int = 20) -> float:
+    import jax
+    import optax
+
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.meta.maml import MetaAlgoConfig, maml_grads
+    from metaasr_tpu.train.task import ASRTask
+
+    cfg = Config()
+    cfg.model.arch = "transformer"
+    cfg.model.vocab_size = VOCAB
+    cfg.model.dtype = "bfloat16"
+    cfg.meta.inner_steps = INNER_STEPS
+    task = ASRTask(cfg)
+    rng = np.random.default_rng(0)
+
+    def batch(bsz):
+        return {
+            "audio": np.asarray(
+                0.1 * rng.standard_normal((M_TASKS, bsz, NUM_SAMPLES))
+            ).astype(np.float32),
+            "audio_lens": np.full((M_TASKS, bsz), NUM_SAMPLES, np.int32),
+            "tokens": rng.integers(1, VOCAB - 1,
+                                   (M_TASKS, bsz, NUM_TOKENS)).astype(np.int32),
+            "token_lens": np.full((M_TASKS, bsz), NUM_TOKENS, np.int32),
+        }
+
+    meta_batch = {"support": batch(K_SUPPORT), "query": batch(K_QUERY)}
+    meta_batch = jax.tree_util.tree_map(jax.numpy.asarray, meta_batch)
+
+    params = task.init_params(
+        jax.random.PRNGKey(0),
+        {k: v[0] for k, v in meta_batch["support"].items()})
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
+        inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
+        remat_inner=True))
+
+    @jax.jit
+    def step(params, opt_state, key):
+        grads, metrics = grad_fn(params, meta_batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics["meta_loss"]
+
+    key = jax.random.PRNGKey(0)
+    params, opt_state, loss = step(params, opt_state, key)  # compile
+    jax.block_until_ready(loss)
+    times = []
+    for i in range(steps):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, key)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    utts = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
+    return utts / dt
+
+
+def torch_baseline() -> float:
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            return json.load(f)["utts_per_sec"]
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(_CACHE),
+                                          "bench_baseline_torch.py")],
+            capture_output=True, text=True, timeout=1800, check=True)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(_CACHE, "w") as f:
+            json.dump(rec, f)
+        return rec["utts_per_sec"]
+    except Exception as e:
+        print(f"# torch baseline failed: {e}", file=sys.stderr)
+        return float("nan")
+
+
+def main():
+    value = measure_jax()
+    base = torch_baseline()
+    vs = value / base if base == base else None  # nan check
+    print(json.dumps({
+        "metric": "fomaml_meta_train_throughput",
+        "value": round(value, 2),
+        "unit": "utts/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "baseline": "pytorch reference-style copy-the-model FOMAML (cpu, "
+                    "reference GPU unavailable)",
+        "workload": {"tasks": M_TASKS, "k_support": K_SUPPORT,
+                     "k_query": K_QUERY, "inner_steps": INNER_STEPS,
+                     "audio_sec": NUM_SAMPLES / 16000},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Batched on-device joint CTC/attention beam search.
+
+The reference decodes host-side, hypothesis-by-hypothesis, with numpy CTC
+prefix scoring per step (R: src/model/beam_search.py, SURVEY.md section 2.1
+#11, section 3.3) — a device ping-pong per token. Here the WHOLE search is
+one jitted program (BASELINE.json:5 "beam search runs on-device with batched
+hypothesis state"; vectorized-beam patterns, PAPERS.md:7,9):
+
+- hypothesis state is a fixed-shape pytree [B, K, ...] (tokens, lengths,
+  scores, finished flags, per-layer decoder KV caches, CTC prefix-prob
+  arrays);
+- each decode step = one batched decoder call on [B*K] hypotheses + a
+  ``lax.scan`` over encoder frames computing Graves CTC prefix
+  probabilities for ALL (hypothesis x candidate) pairs at once;
+- top-K reselection gathers every state leaf with one ``take_along_axis``;
+- finished hypotheses propose only a frozen self-extension, so the state
+  machine needs no host control flow; the outer loop is ``lax.scan`` over
+  ``max_len`` steps.
+
+Joint score (ESPnet semantics): (1-w)*att_cumlogp + w*ctc_prefix_logp
+(+ length_penalty * length), where the CTC prefix score of hypothesis h is
+log [ p_nb(h, T_b) + p_b(h, T_b) ] and an eos candidate scores h as a
+complete CTC sequence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from metaasr_tpu.constants import BLANK_ID
+from metaasr_tpu.utils.padding import make_non_pad_mask
+
+NEG = -1.0e9
+
+
+def _lae(a, b):
+    """logaddexp that tolerates NEG sentinels."""
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG)
+    return m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
+
+
+@dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 10
+    max_len: int = 64
+    ctc_weight: float = 0.3
+    length_penalty: float = 0.0
+    blank_id: int = BLANK_ID
+
+
+def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
+                    r_nb: jax.Array, r_b: jax.Array, last: jax.Array,
+                    empty: jax.Array, blank_id: int):
+    """Extend every hypothesis with every candidate token, one frame scan.
+
+    ctc_logp: [B, T, V]; r_nb/r_b: [B, K, T] prefix probs of current hyps;
+    last: [B, K] last emitted token; empty: [B, K] bool (zero-length hyp).
+
+    Returns (new_r_nb [B,K,V,T], new_r_b [B,K,V,T], ctc_score [B,K,V],
+    complete_score [B,K]): prefix arrays and cumulative CTC prefix log-prob
+    for each extension, plus the 'h as complete sequence' score (for eos).
+    """
+    bsz, t_len, vocab = ctc_logp.shape
+    k = r_nb.shape[1]
+    # r(h, t-1) inputs, shifted with t=-1 boundary values.
+    r_b_m1 = jnp.where(empty, 0.0, NEG)                      # [B, K]
+    r_nb_m1 = jnp.full((bsz, k), NEG)
+    r_b_prev = jnp.concatenate([r_b_m1[:, :, None], r_b[:, :, :-1]], axis=2)
+    r_nb_prev = jnp.concatenate([r_nb_m1[:, :, None], r_nb[:, :, :-1]], axis=2)
+
+    cand = jax.lax.broadcasted_iota(jnp.int32, (1, 1, vocab), 2)
+    not_repeat = cand != last[:, :, None]                    # [B, K, V]
+
+    lp_tok = jnp.moveaxis(ctc_logp, 1, 0)[:, :, None, :]     # [T, B, 1, V]
+    lp_blank = jnp.moveaxis(ctc_logp[:, :, blank_id], 1, 0)[:, :, None, None]
+    rb_p = jnp.moveaxis(r_b_prev, 2, 0)[:, :, :, None]       # [T, B, K, 1]
+    rnb_p = jnp.moveaxis(r_nb_prev, 2, 0)[:, :, :, None]
+    t_active = (jax.lax.broadcasted_iota(jnp.int32, (t_len, 1, 1, 1), 0)
+                < enc_lens[None, :, None, None])             # [T, B, 1, 1]
+
+    def step(carry, xs):
+        c_nb, c_b, c_psi = carry                             # [B, K, V]
+        lp_c, lp_bl, rbp, rnbp, act = xs
+        phi = _lae(rbp, jnp.where(not_repeat, rnbp, NEG))    # phi(t-1), [B,K,V]
+        n_nb = _lae(c_nb, phi) + lp_c
+        n_b = _lae(c_b, c_nb) + lp_bl
+        # prefix probability psi(h+c) = sum_t phi(t-1) * p_t(c)
+        n_psi = _lae(c_psi, phi + lp_c)
+        n_nb = jnp.where(act, n_nb, c_nb)
+        n_b = jnp.where(act, n_b, c_b)
+        n_psi = jnp.where(act, n_psi, c_psi)
+        return (n_nb, n_b, n_psi), (n_nb, n_b)
+
+    neg0 = jnp.full((bsz, k, vocab), NEG)
+    (_, _, psi), (seq_nb, seq_b) = jax.lax.scan(
+        step, (neg0, neg0, neg0), (lp_tok, lp_blank, rb_p, rnb_p, t_active))
+
+    new_r_nb = jnp.moveaxis(seq_nb, 0, 3)                    # [B, K, V, T]
+    new_r_b = jnp.moveaxis(seq_b, 0, 3)
+    ctc_score = psi                                          # [B, K, V]
+
+    # h itself as a complete sequence: read r at t = T_b - 1.
+    t_idx = jnp.maximum(enc_lens.astype(jnp.int32) - 1, 0)[:, None, None]
+    rb_T = jnp.take_along_axis(r_b, jnp.broadcast_to(t_idx, (bsz, k, 1)), 2)[..., 0]
+    rnb_T = jnp.take_along_axis(r_nb, jnp.broadcast_to(t_idx, (bsz, k, 1)), 2)[..., 0]
+    complete = _lae(rb_T, rnb_T)
+    return new_r_nb, new_r_b, ctc_score, complete
+
+
+def ctc_prefix_init(ctc_logp: jax.Array, enc_lens: jax.Array, k: int,
+                    blank_id: int):
+    """Initial prefix arrays for the empty hypothesis: r_b = cumulative
+    blank log-prob, r_nb = -inf."""
+    bsz, t_len, _ = ctc_logp.shape
+    blanks = ctc_logp[:, :, blank_id]
+    mask = make_non_pad_mask(enc_lens, t_len)
+    r_b = jnp.cumsum(jnp.where(mask, blanks, 0.0), axis=1)
+    r_b = jnp.where(mask, r_b, jnp.take_along_axis(
+        r_b, jnp.maximum(enc_lens.astype(jnp.int32) - 1, 0)[:, None], 1))
+    r_b = jnp.broadcast_to(r_b[:, None, :], (bsz, k, t_len))
+    r_nb = jnp.full((bsz, k, t_len), NEG)
+    return r_nb, r_b
+
+
+def batched_beam_search(decoder_step_fn, init_caches, enc: jax.Array,
+                        enc_lens: jax.Array, ctc_logits: jax.Array,
+                        eos_id: int, cfg: BeamSearchConfig):
+    """Run the search.
+
+    decoder_step_fn(tokens [N,1], step, caches, enc [N,T,D], enc_lens [N])
+        -> (log_probs [N, V], new_caches)   (N = B*K)
+    init_caches: decoder KV caches for N=B*K rows, length >= max_len.
+    ctc_logits: [B, T, V] raw CTC head outputs on the encoder frames.
+
+    Returns dict: tokens [B, K, L], lengths [B, K], scores [B, K] (sorted
+    best-first), where tokens excludes sos and includes no eos.
+    """
+    bsz, t_len, vocab = ctc_logits.shape
+    k = cfg.beam_size
+    l_max = cfg.max_len
+    ctc_logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
+
+    enc_rep = jnp.repeat(enc, k, axis=0)                     # [B*K, T, D]
+    enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
+
+    r_nb, r_b = ctc_prefix_init(ctc_logp, enc_lens, k, cfg.blank_id)
+    state = {
+        "tokens": jnp.zeros((bsz, k, l_max), jnp.int32),
+        "length": jnp.zeros((bsz, k), jnp.int32),
+        "att_cum": jnp.zeros((bsz, k), jnp.float32),
+        "score": jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (bsz, k), 1) == 0, 0.0, NEG),
+        "finished": jnp.zeros((bsz, k), bool),
+        "last": jnp.full((bsz, k), eos_id, jnp.int32),       # sos == eos id
+        "empty": jnp.ones((bsz, k), bool),
+        "r_nb": r_nb,
+        "r_b": r_b,
+        "caches": init_caches,
+    }
+
+    def step_fn(state, step_idx):
+        # 1) batched decoder step on all hypotheses
+        att_logp, new_caches = decoder_step_fn(
+            state["last"].reshape(bsz * k, 1), step_idx, state["caches"],
+            enc_rep, enc_lens_rep)
+        att_logp = att_logp.reshape(bsz, k, vocab)
+
+        # 2) CTC prefix scores for every extension
+        new_r_nb, new_r_b, ctc_ext, ctc_complete = ctc_prefix_step(
+            ctc_logp, enc_lens, state["r_nb"], state["r_b"], state["last"],
+            state["empty"], cfg.blank_id)
+
+        # 3) combined candidate scores [B, K, V]
+        att_new = state["att_cum"][:, :, None] + att_logp
+        w = cfg.ctc_weight
+        cand_ctc = ctc_ext.at[:, :, eos_id].set(ctc_complete)
+        # blank is never a decoder output: forbid it
+        scores = (1 - w) * att_new + w * cand_ctc
+        scores = scores + cfg.length_penalty * (state["length"] + 1)[:, :, None]
+        scores = scores.at[:, :, cfg.blank_id].set(NEG)
+        # dead hyps propose nothing; finished hyps propose only frozen self
+        alive_scores = jnp.where(state["finished"][:, :, None], NEG, scores)
+        alive_scores = jnp.where(state["score"][:, :, None] <= NEG / 2, NEG,
+                                 alive_scores)
+        frozen = jnp.full((bsz, k, vocab), NEG).at[:, :, eos_id].set(0.0)
+        frozen = frozen + state["score"][:, :, None]
+        cand_scores = jnp.where(state["finished"][:, :, None], frozen,
+                                alive_scores)
+
+        # 4) top-K over K*V
+        flat = cand_scores.reshape(bsz, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, k)          # [B, K]
+        parent = top_idx // vocab
+        token = (top_idx % vocab).astype(jnp.int32)
+
+        def sel(x):
+            """gather parent rows of a [B, K, ...] array."""
+            idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        parent_finished = sel(state["finished"][:, :, None])[..., 0]
+        parent_len = sel(state["length"][:, :, None])[..., 0]
+        parent_tokens = sel(state["tokens"])
+        parent_att = sel(state["att_cum"][:, :, None])[..., 0]
+        parent_empty = sel(state["empty"][:, :, None])[..., 0]
+
+        now_finish = (~parent_finished) & (token == eos_id)
+        stay = parent_finished
+        new_len = jnp.where(stay | now_finish, parent_len, parent_len + 1)
+        write_pos = jnp.minimum(parent_len, l_max - 1)
+        appended = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (bsz, k, l_max), 2)
+             == write_pos[:, :, None]) & ~(stay | now_finish)[:, :, None],
+            token[:, :, None], parent_tokens)
+
+        new_att = jnp.where(
+            stay, parent_att,
+            parent_att + jnp.take_along_axis(
+                sel(att_logp), token[:, :, None], 2)[..., 0])
+
+        # CTC prefix arrays: select [parent, token] rows
+        def sel_cand(x):                                      # [B,K,V,T]
+            p = sel(x)                                        # parent rows
+            return jnp.take_along_axis(
+                p, token[:, :, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+
+        keep_r = (stay | now_finish)[:, :, None]
+        new_rnb = jnp.where(keep_r, sel(state["r_nb"]), sel_cand(new_r_nb))
+        new_rb = jnp.where(keep_r, sel(state["r_b"]), sel_cand(new_r_b))
+
+        # decoder caches: [B*K, L, H, Dh] leaves -> gather parent beams
+        def sel_cache(x):
+            xs = x.reshape((bsz, k) + x.shape[1:])
+            idx = parent.reshape(parent.shape + (1,) * (xs.ndim - 2))
+            return jnp.take_along_axis(xs, idx, axis=1).reshape(x.shape)
+
+        caches = jax.tree_util.tree_map(sel_cache, new_caches)
+
+        new_state = {
+            "tokens": appended,
+            "length": new_len,
+            "att_cum": new_att,
+            "score": top_scores,
+            "finished": parent_finished | now_finish,
+            "last": jnp.where(stay | now_finish, sel(state["last"][:, :, None])[..., 0], token),
+            "empty": jnp.where(stay | now_finish, parent_empty, False),
+            "r_nb": new_rnb,
+            "r_b": new_rb,
+            "caches": caches,
+        }
+        return new_state, None
+
+    state, _ = jax.lax.scan(step_fn, state, jnp.arange(l_max))
+
+    # unfinished hypotheses: add their eos/complete score for comparability
+    order = jnp.argsort(-state["score"], axis=1)
+    return {
+        "tokens": jnp.take_along_axis(state["tokens"], order[:, :, None], 1),
+        "lengths": jnp.take_along_axis(state["length"], order, 1),
+        "scores": jnp.take_along_axis(state["score"], order, 1),
+        "finished": jnp.take_along_axis(state["finished"], order, 1),
+    }
+
+
+def beam_search_transformer(model, params, feats, feat_lens, eos_id: int,
+                            cfg: BeamSearchConfig):
+    """Convenience wrapper: encode + CTC head + batched search for a
+    TransformerASR model (params pytree, feats [B, T, D])."""
+    enc, enc_lens = model.apply({"params": params}, feats, feat_lens, False,
+                                method=model.encode)
+    ctc_logits = model.apply({"params": params}, enc,
+                             method=lambda m, e: m.ctc_head(e))
+    bsz = feats.shape[0]
+    caches = model.apply({"params": params}, bsz * cfg.beam_size, cfg.max_len,
+                         method=model.decoder_init_state)
+
+    def decoder_step_fn(tokens, step, caches, enc_rep, enc_lens_rep):
+        return model.apply({"params": params}, tokens, step, caches, enc_rep,
+                           enc_lens_rep, method=model.decoder_step)
+
+    return batched_beam_search(decoder_step_fn, caches, enc, enc_lens,
+                               ctc_logits, eos_id, cfg)

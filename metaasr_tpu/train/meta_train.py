@@ -171,21 +171,72 @@ class MetaASRTrainer:
         adapted = jax.jit(inner)(params, batch, jax.random.PRNGKey(seed))
         return adapted, test_idx
 
-    def decode(self, params, dataset, indices=None, max_utts: int = 100) -> dict:
-        """Greedy-CTC decode a dataset (or subset) -> WER/CER."""
+    def decode(self, params, dataset, indices=None, max_utts: int = 100,
+               mode: str = "greedy") -> dict:
+        """Decode a dataset (or subset) -> WER/CER.
+
+        mode='greedy': CTC greedy. mode='beam': batched on-device joint
+        CTC/attention beam search (transformer only; SURVEY.md section 3.3).
+        """
         indices = list(indices if indices is not None else range(len(dataset)))
         indices = indices[:max_utts]
         hyps, refs = [], []
         bsz = self.cfg.data.batch_size
+        from metaasr_tpu.utils.padding import bucket_length
+
+        buckets = tuple(sorted({bucket_length(
+            len(dataset[j]["audio"]), (16000, 32000, 64000, 128000, 256000))
+            for j in indices}))
         for i in range(0, len(indices), bsz):
             items = [dataset[j] for j in indices[i: i + bsz]]
-            smax = max(len(it["audio"]) for it in items)
+            smax = bucket_length(max(len(it["audio"]) for it in items), buckets)
             batch = collate(items, smax, self.cfg.data.max_tokens)
-            packed, out_lens = self.task.greedy_ctc(params, batch["audio"],
-                                                    batch["audio_lens"])
-            hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
+            if mode == "beam" and self.task.arch == "transformer":
+                hyps.extend(self._beam_decode_batch(params, batch))
+            else:
+                packed, out_lens = self.task.greedy_ctc(
+                    params, batch["audio"], batch["audio_lens"])
+                hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
+
+    def _beam_decode_batch(self, params, batch) -> list[str]:
+        import jax.numpy as jnp
+
+        from metaasr_tpu.decode.beam_search import (
+            BeamSearchConfig,
+            beam_search_transformer,
+        )
+
+        t = self.cfg.train
+        cfg = BeamSearchConfig(beam_size=t.beam_size,
+                               max_len=self.cfg.data.max_tokens,
+                               ctc_weight=t.decode_ctc_weight,
+                               length_penalty=t.length_penalty)
+        feats, feat_lens = self.task.features(
+            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]))
+        out = self._jit_beam(cfg)(params, feats, feat_lens)
+        toks = np.asarray(out["tokens"])
+        lens = np.asarray(out["lengths"])
+        return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
+                for b in range(toks.shape[0])]
+
+    def _jit_beam(self, bs_cfg):
+        if not hasattr(self, "_beam_cache"):
+            self._beam_cache = {}
+        key = bs_cfg
+        if key not in self._beam_cache:
+            from metaasr_tpu.decode.beam_search import beam_search_transformer
+
+            model = self.task.model
+            eos = self.task.sos_eos_id
+
+            def run(params, feats, feat_lens):
+                return beam_search_transformer(model, params, feats, feat_lens,
+                                               eos, bs_cfg)
+
+            self._beam_cache[key] = jax.jit(run)
+        return self._beam_cache[key]
 
     def eval_heldout(self, params, max_utts: int = 50) -> dict:
         """5-shot adapt + decode on every held-out accent

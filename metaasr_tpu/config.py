@@ -66,6 +66,9 @@ class ModelConfig:
     ctc_weight: float = 0.3
     label_smoothing: float = 0.1
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
+    # CTC loss backend: "auto" (pallas on TPU, scan elsewhere),
+    # "scan" (lax.scan alpha recursion), "pallas" (fused alpha/beta kernel)
+    ctc_impl: str = "auto"
 
 
 @dataclass

@@ -65,11 +65,14 @@ def label_smoothing_loss(logits: jax.Array, targets: jax.Array,
 def joint_ctc_attention_loss(outputs: dict, tokens: jax.Array,
                              token_lens: jax.Array, sos_eos_id: int,
                              ctc_weight: float = 0.3,
-                             label_smoothing: float = 0.1) -> tuple[jax.Array, dict]:
+                             label_smoothing: float = 0.1,
+                             ctc_loss_fn=None) -> tuple[jax.Array, dict]:
     """outputs: dict from TransformerASR.__call__ (teacher-forced with the
-    SAME prepare_decoder_targets inputs). Returns (scalar loss, metrics)."""
+    SAME prepare_decoder_targets inputs). Returns (scalar loss, metrics).
+    ``ctc_loss_fn`` selects the CTC backend (scan or Pallas kernel)."""
+    ctc_loss_fn = ctc_loss_fn or ctc_loss
     lp = jax.nn.log_softmax(outputs["ctc_logits"].astype(jnp.float32), axis=-1)
-    l_ctc = ctc_loss(lp, outputs["enc_lens"], tokens, token_lens).mean()
+    l_ctc = ctc_loss_fn(lp, outputs["enc_lens"], tokens, token_lens).mean()
     _, tokens_out, out_mask = prepare_decoder_targets(tokens, token_lens, sos_eos_id)
     l_att = label_smoothing_loss(outputs["att_logits"], tokens_out, out_mask,
                                  label_smoothing)

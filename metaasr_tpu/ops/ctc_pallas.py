@@ -1,0 +1,225 @@
+"""Pallas CTC forward-backward kernel (SURVEY.md section 2.2 #N2/#N3,
+BASELINE.json:5 "Pallas CTC forward-backward (alpha/beta recursion) loss").
+
+The scan-based loss (ops/ctc.py) differentiates by reverse-mode autodiff
+through ``lax.scan`` — correct, but it materializes per-step residuals in
+HBM and runs T sequential XLA loop iterations for forward AND backward.
+This kernel runs the whole alpha/beta recursion on-chip:
+
+- the label-gathered emissions logp_z [T, BB, S_pad] stream into VMEM once;
+- the alpha pass stores rows in a VMEM scratch (never HBM);
+- the beta pass runs backward over the same VMEM data, emitting the
+  posterior gradient  d nll / d logp_z[t,s] = -exp(alpha + beta + nll)
+  directly — one kernel, one HBM write of the gradient;
+- a custom VJP hands jax the [B, T, S] gradient, which is scattered back
+  to [B, T, V] by a one-hot matmul at the jax level (MXU, not scatter).
+
+Lane shifts (alpha[s-1], alpha[s-2]) are circular ``pltpu.roll`` ops with
+iota masks on the wrapped lanes. Ragged T freezes the alpha carry per row;
+ragged U needs no masking (the recursion never reads s > current).
+
+Batch is processed in blocks sized so 3 x [T, BB, S_pad] fp32 fits VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metaasr_tpu.constants import BLANK_ID, LOG_EPS
+from metaasr_tpu.ops.ctc import extend_labels
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_lanes(x: jax.Array, k: int, s_pad: int) -> jax.Array:
+    """shift values toward higher lane index by k (x[s] <- x[s-k]),
+    filling vacated lanes with LOG_EPS."""
+    rolled = pltpu.roll(x, shift=k, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], s_pad), 1)
+    return jnp.where(lane >= k, rolled, LOG_EPS)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, LOG_EPS)
+    return m + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
+                       + jnp.exp(c - m_safe))
+
+
+def _ctc_kernel(logp_ref, skip_ref, lens_ref, end_ref, nll_ref, grad_ref,
+                alpha_scr, *, t_len: int, s_pad: int, bb: int):
+    """One batch block: logp_ref [T, BB, S_pad]; skip_ref [BB, S_pad];
+    lens/end [BB, 1] i32 in VMEM; outputs nll [BB, 1], grad [T, BB, S_pad];
+    alpha scratch [T, BB, S_pad]."""
+    lens = lens_ref[:]                                       # [BB, 1]
+    end = end_ref[:]                                         # [BB, 1]
+    skip = skip_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bb, s_pad), 1)
+
+    # ---- alpha pass ----
+    lp0 = logp_ref[0]
+    alpha0 = jnp.where(lane == 0, lp0, LOG_EPS)
+    alpha0 = jnp.where((lane == 1) & (end > 0), lp0, alpha0)
+
+    alpha_scr[0] = alpha0
+
+    def fwd(t, alpha):
+        lp = logp_ref[t]
+        a1 = _shift_lanes(alpha, 1, s_pad)
+        a2 = _shift_lanes(alpha, 2, s_pad)
+        new = lp + _lse3(alpha, a1, a2 + skip)
+        active = t < lens                                    # [BB, 1]
+        alpha = jnp.where(active, new, alpha)
+        alpha_scr[t] = alpha
+        return alpha
+
+    alpha_f = jax.lax.fori_loop(1, t_len, fwd, alpha0)
+
+    # ---- nll from final alpha at end positions ----
+    pick = (lane == end) | ((lane == end - 1) & (end > 0))
+    a_end = jnp.where(pick, alpha_f, LOG_EPS)
+    m = jnp.max(a_end, axis=1, keepdims=True)
+    m_safe = jnp.maximum(m, LOG_EPS)
+    lse = m + jnp.log(jnp.sum(jnp.exp(a_end - m_safe), axis=1, keepdims=True))
+    nll = -lse                                               # [BB, 1]
+    nll_ref[:] = nll
+
+    # ---- beta pass, writing grad rows ----
+    # beta[t, s] = log P(complete z_{s..} over frames t+1..T_b-1 | state s
+    # at frame t); beta[T_b-1] = end indicator. The loop runs t descending;
+    # rows still in their padded region (t >= T_b-1) re-assert the
+    # indicator, so the recursion starts exactly at each row's own T_b-1.
+    beta_init = jnp.where(pick, 0.0, LOG_EPS)                # [BB, S_pad]
+    skip2 = pltpu.roll(skip, shift=s_pad - 2, axis=1)
+
+    def bwd(i, carry):
+        t = t_len - 1 - i
+        at_last = t >= (lens - 1)
+        beta_t = jnp.where(at_last, beta_init, carry)
+        grad_ref[t] = jnp.where(
+            t < lens, -jnp.exp(alpha_scr[t] + beta_t + nll), 0.0)
+        # beta[t-1] from beta[t]: next states {s, s+1, s+2}, emissions at t
+        lp = logp_ref[t]
+        b0 = beta_t + lp
+        b1 = pltpu.roll(beta_t + lp, shift=s_pad - 1, axis=1)
+        b1 = jnp.where(lane < s_pad - 1, b1, LOG_EPS)
+        lp2 = pltpu.roll(lp, shift=s_pad - 2, axis=1)
+        b2 = pltpu.roll(beta_t, shift=s_pad - 2, axis=1) + lp2 + skip2
+        b2 = jnp.where(lane < s_pad - 2, b2, LOG_EPS)
+        return _lse3(b0, b1, b2)
+
+    jax.lax.fori_loop(0, t_len, bwd, beta_init)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ctc_pallas(logp_z, skip_bias, lens, end, t_len: int, interpret: bool):
+    nll, _ = _ctc_run(logp_z, skip_bias, lens, end, t_len, interpret)
+    return nll
+
+
+def _ctc_run(logp_z, skip_bias, lens, end, t_len: int, interpret: bool):
+    """logp_z [B, T, S_pad] -> (nll [B], grad [B, T, S_pad])."""
+    bsz, t_dim, s_pad = logp_z.shape
+    assert t_dim == t_len
+    # batch block: 3 copies of [T, BB, S_pad] fp32 under ~12 MB
+    budget = 12 * 1024 * 1024
+    bb = max(1, min(8, budget // (3 * t_len * s_pad * 4)))
+    while bsz % bb:
+        bb -= 1
+    lp_t = jnp.moveaxis(logp_z, 1, 0)                        # [T, B, S_pad]
+
+    nll, grad = pl.pallas_call(
+        functools.partial(_ctc_kernel, t_len=t_len, s_pad=s_pad, bb=bb),
+        grid=(bsz // bb,),
+        in_specs=[
+            pl.BlockSpec((t_len, bb, s_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_len, bb, s_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, bsz, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t_len, bb, s_pad), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bsz * t_len * s_pad,
+            bytes_accessed=2 * bsz * t_len * s_pad * 4,
+            transcendentals=6 * bsz * t_len * s_pad,
+        ),
+    )(lp_t, skip_bias, lens, end)
+    return nll[:, 0], jnp.moveaxis(grad, 0, 1)
+
+
+def _ctc_fwd(logp_z, skip_bias, lens, end, t_len, interpret):
+    nll, grad = _ctc_run(logp_z, skip_bias, lens, end, t_len, interpret)
+    return nll, grad
+
+
+def _ctc_bwd(t_len, interpret, grad, ct):
+    # grad: [B, T, S_pad] = d nll_b / d logp_z; upstream ct: [B]
+    return (grad * ct[:, None, None], None, None, None)
+
+
+_ctc_pallas.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+def ctc_forward_pallas(log_probs: jax.Array, logit_lens: jax.Array,
+                       labels: jax.Array, label_lens: jax.Array,
+                       blank: int = BLANK_ID,
+                       interpret: bool | None = None) -> jax.Array:
+    """Drop-in for ops.ctc.ctc_forward (per-utterance NLL [B]), with the
+    alpha/beta recursion in one Pallas kernel and a custom VJP."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, t_len, vocab = log_probs.shape
+    z = extend_labels(labels, blank)                          # [B, S]
+    s_len = z.shape[1]
+    s_pad = _round_up(max(s_len, LANE), LANE)
+    zp = jnp.pad(z, ((0, 0), (0, s_pad - s_len)), constant_values=blank)
+
+    lp32 = log_probs.astype(jnp.float32)
+    logp_z = jnp.take_along_axis(lp32, zp[:, None, :].astype(jnp.int32), 2)
+    # padding lanes get LOG_EPS emissions so they can never win
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_pad), 2)
+    logp_z = jnp.where(lane < s_len, logp_z, LOG_EPS)
+
+    z_prev2 = jnp.pad(zp, ((0, 0), (2, 0)), constant_values=blank)[:, :s_pad]
+    can_skip = (zp != blank) & (zp != z_prev2)
+    skip_bias = jnp.where(can_skip, 0.0, LOG_EPS).astype(jnp.float32)
+
+    lens = logit_lens.astype(jnp.int32)[:, None]
+    end = (2 * label_lens.astype(jnp.int32))[:, None]
+
+    # Gradients: the custom VJP returns d nll / d logp_z [B, T, S_pad];
+    # jax chains it through take_along_axis's VJP (scatter-add back to
+    # [B, T, V]) automatically.
+    return _ctc_pallas(logp_z, skip_bias, lens, end, t_len, interpret)
+
+
+def ctc_loss_pallas(log_probs, logit_lens, labels, label_lens,
+                    blank: int = BLANK_ID, zero_infinity: bool = True,
+                    interpret: bool | None = None) -> jax.Array:
+    nll = ctc_forward_pallas(log_probs, logit_lens, labels, label_lens,
+                             blank, interpret)
+    if zero_infinity:
+        bad = nll > -0.5 * LOG_EPS
+        nll = jnp.where(bad, 0.0, nll)
+    return nll

@@ -25,6 +25,15 @@ from metaasr_tpu.models.losses import (
 from metaasr_tpu.models.transformer import TransformerASR
 from metaasr_tpu.models.vgg_blstm import VGGBLSTMCTC
 from metaasr_tpu.ops.ctc import ctc_loss
+from metaasr_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+
+def select_ctc_loss(impl: str):
+    """'auto' | 'scan' | 'pallas' -> loss fn (SURVEY.md section 7 M3:
+    both backends behind one API)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    return ctc_loss_pallas if impl == "pallas" else ctc_loss
 
 
 def build_model(cfg: Config):
@@ -57,16 +66,27 @@ class ASRTask:
             num_mel_bins=f.num_mel_bins, preemphasis=f.preemphasis,
             remove_dc_offset=f.remove_dc_offset, low_freq=f.low_freq,
             high_freq=f.high_freq, sample_rate=f.sample_rate)
+        self._ctc_loss = select_ctc_loss(cfg.model.ctc_impl)
 
     # ---------- features ----------
 
     def features(self, audio, audio_lens, rng=None, train: bool = False):
         f = self.cfg.frontend
-        feats, feat_lens = log_mel_fbank(
-            audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
-            cmvn_norm_var=f.cmvn_norm_var,
-            dither=f.dither if train else 0.0,
-            rng=rng)
+        if f.use_pallas:
+            from metaasr_tpu.frontend.pallas_fbank import pallas_log_mel_fbank
+
+            if train and f.dither and rng is not None:
+                audio = audio + f.dither * jax.random.normal(
+                    rng, audio.shape, jnp.float32)
+            feats, feat_lens = pallas_log_mel_fbank(
+                audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
+                cmvn_norm_var=f.cmvn_norm_var)
+        else:
+            feats, feat_lens = log_mel_fbank(
+                audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
+                cmvn_norm_var=f.cmvn_norm_var,
+                dither=f.dither if train else 0.0,
+                rng=rng)
         if train and self.cfg.specaug.enabled and rng is not None:
             sa = self.cfg.specaug
             feats = spec_augment(
@@ -106,7 +126,8 @@ class ASRTask:
             logits, out_lens = self.model.apply(
                 {"params": params}, feats, feat_lens, train, rngs=rngs)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = ctc_loss(lp, out_lens, batch["tokens"], batch["token_lens"])
+            nll = self._ctc_loss(lp, out_lens, batch["tokens"],
+                                 batch["token_lens"])
             loss = nll.mean()
             return loss, {"loss": loss, "ctc_loss": loss}
         tokens_in, _, _ = prepare_decoder_targets(
@@ -117,7 +138,8 @@ class ASRTask:
         return joint_ctc_attention_loss(
             outputs, batch["tokens"], batch["token_lens"], self.sos_eos_id,
             ctc_weight=self.cfg.model.ctc_weight,
-            label_smoothing=self.cfg.model.label_smoothing)
+            label_smoothing=self.cfg.model.label_smoothing,
+            ctc_loss_fn=self._ctc_loss)
 
     # ---------- decode (greedy CTC; beam search lives in decode/) ----------
 

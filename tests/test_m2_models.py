@@ -31,6 +31,9 @@ def tiny_cfg(arch="vgg_blstm", vocab=30):
     cfg.model.dtype = "float32"
     cfg.model.dropout = 0.0
     cfg.specaug.enabled = False
+    # interpret-mode pallas is slow on the CPU test backend; the kernel has
+    # its own dedicated equivalence tests (test_m3_pallas.py)
+    cfg.frontend.use_pallas = False
     return cfg
 
 

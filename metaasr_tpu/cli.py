@@ -1,0 +1,154 @@
+"""CLI entry point.
+
+Mirrors the reference's interface (R: main.py, SURVEY.md section 2.1 #1):
+
+    python main.py --config configs/config3_fomaml.yaml --mode train \
+        --algo fomaml [--ckpt DIR] [--seed N] [-o key=value ...]
+
+modes: train | adapt | test;  algos: no | multi | fomaml | maml
+(algo overrides config; 'no' = single-accent baseline, 'multi' = pooled
+multi-accent multitask, SURVEY.md section 2.1 #3-#6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from metaasr_tpu.config import Config, load_config, save_config
+from metaasr_tpu.data.dataset import load_accent_datasets
+from metaasr_tpu.data.tokenizer import CharTokenizer, PhoneTokenizer
+
+
+def build_tokenizer(cfg: Config, datasets=None):
+    if cfg.data.vocab == "phone":
+        tok = PhoneTokenizer.arpabet_default()
+    else:
+        tok = CharTokenizer.ascii_default()
+    return tok
+
+
+def _parse_override(kv: str):
+    key, val = kv.split("=", 1)
+    for cast in (int, float):
+        try:
+            return key, cast(val)
+        except ValueError:
+            pass
+    if val.lower() in ("true", "false"):
+        return key, val.lower() == "true"
+    return key, val
+
+
+def make_trainer(cfg: Config, workdir: str, mesh=None):
+    """Builds (trainer, tokenizer) for the configured algo."""
+    from metaasr_tpu.train.meta_train import MetaASRTrainer
+    from metaasr_tpu.train.mono import MonoASRTrainer, MultitaskASRTrainer
+    from metaasr_tpu.train.task import ASRTask
+
+    tok = build_tokenizer(cfg)
+    cfg.model.vocab_size = tok.vocab_size
+    dsets = load_accent_datasets(cfg.data.data_dir, tok,
+                                 accents=cfg.data.accents,
+                                 vocab=cfg.data.vocab,
+                                 sample_rate=cfg.frontend.sample_rate)
+    heldout = {}
+    for name in cfg.data.heldout_accents:
+        if name in dsets:
+            heldout[name] = dsets.pop(name)
+        else:
+            heldout[name] = load_accent_datasets(
+                cfg.data.data_dir, tok, accents=(name,), vocab=cfg.data.vocab,
+                sample_rate=cfg.frontend.sample_rate)[name]
+    task = ASRTask(cfg, tok.sos_eos_id)
+    algo = cfg.meta.algo
+    dev = next(iter(heldout.values())) if heldout else None
+    if algo == "no":
+        train_sets = [dsets[a] for a in (cfg.data.accents or sorted(dsets))][:1]
+        return MonoASRTrainer(cfg, task, train_sets, dev, tok, workdir), tok
+    if algo == "multi":
+        return MultitaskASRTrainer(cfg, task, dsets, dev, tok, workdir), tok
+    if algo in ("fomaml", "maml"):
+        return MetaASRTrainer(cfg, task, dsets, heldout, tok, workdir,
+                              mesh=mesh), tok
+    raise ValueError(f"unknown algo {algo}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("metaasr_tpu")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--mode", choices=["train", "adapt", "test"], default="train")
+    p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml"],
+                   default=None)
+    p.add_argument("--workdir", type=str, default="runs/default")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--decode-mode", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--mesh-tasks", type=int, default=0,
+                   help="shard meta tasks over a ('task','data') device mesh")
+    p.add_argument("-o", "--override", action="append", default=[],
+                   help="dotted config override key=value")
+    args = p.parse_args(argv)
+
+    overrides = dict(_parse_override(kv) for kv in args.override)
+    if args.algo:
+        overrides["meta.algo"] = args.algo
+    if args.seed is not None:
+        overrides["train.seed"] = args.seed
+        overrides["data.seed"] = args.seed
+    if args.data_dir:
+        overrides["data.data_dir"] = args.data_dir
+    if args.max_steps:
+        overrides["train.max_steps"] = args.max_steps
+    cfg = load_config(args.config, overrides)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    save_config(cfg, os.path.join(args.workdir, "config.yaml"))
+
+    mesh = None
+    if args.mesh_tasks:
+        from metaasr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_task=args.mesh_tasks)
+    trainer, tok = make_trainer(cfg, args.workdir, mesh=mesh)
+
+    if args.mode == "train":
+        if cfg.meta.algo in ("fomaml", "maml"):
+            trainer.meta_train()
+        else:
+            trainer.train()
+        return 0
+
+    # adapt/test need a checkpoint
+    state = trainer.init_state()
+    state, step = trainer.ckpt.restore(state)
+    if step < 0:
+        raise SystemExit(f"no checkpoint found under {args.workdir}/ckpts")
+    results = {}
+    if args.mode == "adapt":
+        for name, ds in trainer.heldout_datasets.items():
+            adapted, test_idx = trainer.meta_adapt(state.params, ds)
+            scores = trainer.decode(adapted, ds, test_idx,
+                                    mode=args.decode_mode)
+            results[name] = scores
+    else:  # test: decode without adaptation
+        targets = getattr(trainer, "heldout_datasets", None) or {}
+        if not targets and hasattr(trainer, "dev_dataset") and trainer.dev_dataset:
+            targets = {"dev": trainer.dev_dataset}
+        for name, ds in targets.items():
+            if cfg.meta.algo in ("fomaml", "maml"):
+                results[name] = trainer.decode(state.params, ds,
+                                               mode=args.decode_mode)
+            else:
+                results[name] = trainer.evaluate(state.params, ds)
+    out = os.path.join(args.workdir, f"{args.mode}_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -155,11 +155,17 @@ def _from_dict(cls, d: dict):
         if k not in fields:
             raise KeyError(f"unknown config key {cls.__name__}.{k}")
         ftype = fields[k].type
+        default = (fields[k].default_factory()
+                   if fields[k].default_factory is not dataclasses.MISSING
+                   else fields[k].default)
         if isinstance(v, dict):
-            sub = fields[k].default_factory() if fields[k].default_factory is not dataclasses.MISSING else None
-            kwargs[k] = _from_dict(type(sub), v) if sub is not None else v
+            kwargs[k] = (_from_dict(type(default), v)
+                         if dataclasses.is_dataclass(default) else v)
         elif isinstance(v, list):
             kwargs[k] = tuple(v)
+        elif isinstance(default, tuple) and isinstance(v, str):
+            # CLI override of a list field: comma-separated string
+            kwargs[k] = tuple(s for s in v.split(",") if s)
         else:
             kwargs[k] = v
         del ftype

@@ -61,17 +61,37 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     """
 
     def one_step(params, step_rng, batch):
-        grads = jax.grad(lambda p: loss_fn(p, batch, step_rng, train)[0])(params)
-        if cfg.first_order:
-            grads = jax.lax.stop_gradient(grads)
+        # First-order: detach the INPUT of the inner gradient rather than
+        # its output. Semantically identical (adapted params depend on the
+        # originals with identity Jacobian either way), but input-side
+        # detachment makes every tangent through the inner-grad
+        # computation a symbolic zero, so the outer grad never linearizes
+        # through it — required for first-order-only custom-VJP kernels
+        # (Pallas CTC) and cheaper for everything else.
+        at = jax.lax.stop_gradient(params) if cfg.first_order else params
+        grads = jax.grad(lambda p: loss_fn(p, batch, step_rng, train)[0])(at)
         return sgd_update(params, grads, cfg.inner_lr)
 
-    if cfg.remat_inner:
+    # Remat only matters when the outer grad flows THROUGH the inner steps
+    # (second-order MAML): it bounds the unrolled-loop activation memory.
+    # First-order cuts that path with stop_gradient, so remat would only
+    # add recompute (and jax.checkpoint's linearization does not compose
+    # with first-order custom_vjp kernels like the Pallas CTC).
+    if cfg.remat_inner and not cfg.first_order:
         one_step = jax.checkpoint(one_step)
 
     def inner_adapt(params, support_batch, rng):
-        for i in range(cfg.inner_steps):
-            params = one_step(params, jax.random.fold_in(rng, i), support_batch)
+        # lax.scan over the k inner steps: the step body (a full fwd+bwd)
+        # traces and compiles ONCE regardless of inner_steps — the
+        # unrolled-python alternative multiplies HLO size (and compile
+        # time) by k. All steps reuse the same k-shot support batch, so
+        # only the PRNG key varies per step.
+        def body(p, step_rng):
+            return one_step(p, step_rng, support_batch), None
+
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(cfg.inner_steps))
+        params, _ = jax.lax.scan(body, params, rngs)
         return params
 
     return inner_adapt

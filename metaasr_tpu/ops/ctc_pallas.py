@@ -121,13 +121,18 @@ def _ctc_kernel(logp_ref, skip_ref, lens_ref, end_ref, nll_ref, grad_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ctc_pallas(logp_z, skip_bias, lens, end, t_len: int, interpret: bool):
-    nll, _ = _ctc_run(logp_z, skip_bias, lens, end, t_len, interpret)
+def _ctc_pallas(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
+    """All-float custom-vjp boundary: integer inputs break the
+    custom_vjp x vmap x jax.checkpoint composition (symbolic-zero
+    bookkeeping), so lens/end travel as float32 and are cast inside."""
+    nll, _ = _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len, interpret)
     return nll
 
 
-def _ctc_run(logp_z, skip_bias, lens, end, t_len: int, interpret: bool):
+def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
     """logp_z [B, T, S_pad] -> (nll [B], grad [B, T, S_pad])."""
+    lens = lens_f.astype(jnp.int32)
+    end = end_f.astype(jnp.int32)
     bsz, t_dim, s_pad = logp_z.shape
     assert t_dim == t_len
     # batch block: 3 copies of [T, BB, S_pad] fp32 under ~12 MB
@@ -168,14 +173,16 @@ def _ctc_run(logp_z, skip_bias, lens, end, t_len: int, interpret: bool):
     return nll[:, 0], jnp.moveaxis(grad, 0, 1)
 
 
-def _ctc_fwd(logp_z, skip_bias, lens, end, t_len, interpret):
-    nll, grad = _ctc_run(logp_z, skip_bias, lens, end, t_len, interpret)
-    return nll, grad
+def _ctc_fwd(logp_z, skip_bias, lens_f, end_f, t_len, interpret):
+    nll, grad = _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len, interpret)
+    return nll, (grad, skip_bias, lens_f, end_f)
 
 
-def _ctc_bwd(t_len, interpret, grad, ct):
+def _ctc_bwd(t_len, interpret, res, ct):
     # grad: [B, T, S_pad] = d nll_b / d logp_z; upstream ct: [B]
-    return (grad * ct[:, None, None], None, None, None)
+    grad, skip_bias, lens_f, end_f = res
+    return (grad * ct[:, None, None], jnp.zeros_like(skip_bias),
+            jnp.zeros_like(lens_f), jnp.zeros_like(end_f))
 
 
 _ctc_pallas.defvjp(_ctc_fwd, _ctc_bwd)
@@ -205,8 +212,8 @@ def ctc_forward_pallas(log_probs: jax.Array, logit_lens: jax.Array,
     can_skip = (zp != blank) & (zp != z_prev2)
     skip_bias = jnp.where(can_skip, 0.0, LOG_EPS).astype(jnp.float32)
 
-    lens = logit_lens.astype(jnp.int32)[:, None]
-    end = (2 * label_lens.astype(jnp.int32))[:, None]
+    lens = logit_lens.astype(jnp.float32)[:, None]
+    end = (2 * label_lens.astype(jnp.int32)).astype(jnp.float32)[:, None]
 
     # Gradients: the custom VJP returns d nll / d logp_z [B, T, S_pad];
     # jax chains it through take_along_axis's VJP (scatter-add back to

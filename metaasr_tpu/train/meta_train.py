@@ -61,6 +61,9 @@ class MetaASRTrainer:
         self.accent_datasets = accent_datasets
         self.heldout_datasets = heldout_datasets
         self.mesh = mesh
+        if cfg.meta.algo == "maml":
+            # second-order: grad-of-grad needs a fully differentiable CTC
+            task.require_full_autodiff()
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
         self.ckpt = CheckpointManager(f"{workdir}/ckpts")
         self.logger = MetricLogger(f"{workdir}/logs",

@@ -68,6 +68,15 @@ class ASRTask:
             high_freq=f.high_freq, sample_rate=f.sample_rate)
         self._ctc_loss = select_ctc_loss(cfg.model.ctc_impl)
 
+    def require_full_autodiff(self):
+        """Switch to the scan CTC backend. Second-order MAML differentiates
+        THROUGH the loss gradient; the Pallas CTC's custom VJP is
+        first-order only (it stores the posterior grad as a residual), so
+        grad-of-grad through it would be silently wrong."""
+        from metaasr_tpu.ops.ctc import ctc_loss as scan_ctc
+
+        self._ctc_loss = scan_ctc
+
     # ---------- features ----------
 
     def features(self, audio, audio_lens, rng=None, train: bool = False):

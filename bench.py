@@ -37,6 +37,15 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def measure_jax(steps: int = 20) -> float:
     import jax
+
+    # persistent compile cache: the meta-step graph is large and the first
+    # compile is minutes; later bench runs reuse it
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(_CACHE), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import optax
 
     from metaasr_tpu.config import Config

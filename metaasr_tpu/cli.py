@@ -90,7 +90,16 @@ def main(argv=None):
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
                    help="dotted config override key=value")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md section 5.2)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
+
+    if args.debug_nans:
+        from metaasr_tpu.utils.profiling import nan_check
+
+        nan_check(True)
 
     overrides = dict(_parse_override(kv) for kv in args.override)
     if args.algo:
@@ -115,10 +124,18 @@ def main(argv=None):
     trainer, tok = make_trainer(cfg, args.workdir, mesh=mesh)
 
     if args.mode == "train":
-        if cfg.meta.algo in ("fomaml", "maml"):
-            trainer.meta_train()
-        else:
-            trainer.train()
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+        if args.profile:
+            from metaasr_tpu.utils.profiling import trace
+
+            ctx = trace(args.profile)
+        with ctx:
+            if cfg.meta.algo in ("fomaml", "maml"):
+                trainer.meta_train()
+            else:
+                trainer.train()
         return 0
 
     # adapt/test need a checkpoint

@@ -129,21 +129,31 @@ class TaskSampler:
         self.tasks_per_batch = tasks_per_batch
         self.num_samples = num_samples
         self.num_tokens = num_tokens
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._step = 0
 
-    def sample(self) -> dict:
-        accents = self.rng.choice(self.accents, size=self.tasks_per_batch,
-                                  replace=False)
+    def sample(self, step: int | None = None) -> dict:
+        """Meta-batch for ``step``. STATELESS-DETERMINISTIC: the batch is a
+        pure function of (seed, step), so resuming from a checkpointed
+        step index replays the exact data stream — the preemption-safe
+        iterator-state story (SURVEY.md section 5.3) without serializing
+        RNG objects."""
+        if step is None:
+            step = self._step
+            self._step += 1
+        rng = np.random.default_rng((self.seed, int(step)))
+        accents = rng.choice(self.accents, size=self.tasks_per_batch,
+                             replace=False)
         sup, qry = [], []
         for a in accents:
             ds = self.datasets[a]
             n = len(ds)
-            idx = self.rng.choice(n, size=min(self.k_support + self.k_query, n),
-                                  replace=n < self.k_support + self.k_query)
+            idx = rng.choice(n, size=min(self.k_support + self.k_query, n),
+                             replace=n < self.k_support + self.k_query)
             s_idx, q_idx = idx[: self.k_support], idx[self.k_support:]
             if len(q_idx) < self.k_query:
                 q_idx = np.concatenate(
-                    [q_idx, self.rng.choice(n, size=self.k_query - len(q_idx))])
+                    [q_idx, rng.choice(n, size=self.k_query - len(q_idx))])
             sup.append(collate([ds[int(i)] for i in s_idx],
                                self.num_samples, self.num_tokens))
             qry.append(collate([ds[int(i)] for i in q_idx],
@@ -153,6 +163,9 @@ class TaskSampler:
             "support": _stack_batches(sup),
             "query": _stack_batches(qry),
         }
+
+    def set_step(self, step: int) -> None:
+        self._step = int(step)
 
     def __iter__(self):
         while True:

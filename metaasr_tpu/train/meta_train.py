@@ -124,7 +124,9 @@ class MetaASRTrainer:
         t0 = time.time()
         utts = 0
         while int(state.step) < max_steps:
-            mb = self.sampler.sample()
+            # batch is a pure function of (seed, step) => exact replay on
+            # preemption resume (SURVEY.md section 5.3)
+            mb = self.sampler.sample(int(state.step))
             batch = {s: {k: v for k, v in mb[s].items() if k != "texts"}
                      for s in ("support", "query")}
             if self.mesh is not None:

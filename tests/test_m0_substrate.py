@@ -106,3 +106,21 @@ def test_dataset_and_samplers(synthetic_data_dir):
     assert support["audio"].shape == (5, 32000)
     assert len(test_idx) == 7
     assert set(test_idx).isdisjoint(set()) and len(set(test_idx)) == 7
+
+
+def test_task_sampler_deterministic_resume(synthetic_data_dir):
+    """Meta-batches are a pure function of (seed, step): resuming from a
+    checkpointed step replays the identical data stream."""
+    tok = CharTokenizer.ascii_default()
+    dsets = load_accent_datasets(synthetic_data_dir, tok)
+    mk = lambda: TaskSampler(dsets, k_support=2, k_query=2, tasks_per_batch=2,
+                             num_samples=16000, num_tokens=16, seed=3)
+    a, b = mk(), mk()
+    for step in (0, 1, 5, 5, 100):
+        mb1, mb2 = a.sample(step), b.sample(step)
+        assert mb1["accents"] == mb2["accents"]
+        assert np.array_equal(mb1["support"]["audio"], mb2["support"]["audio"])
+        assert np.array_equal(mb1["query"]["tokens"], mb2["query"]["tokens"])
+    # different steps differ
+    assert not np.array_equal(a.sample(0)["support"]["audio"],
+                              a.sample(1)["support"]["audio"])

@@ -81,7 +81,7 @@ def measure_jax(steps: int = 20) -> float:
     opt_state = optimizer.init(params)
     grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
         inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
-        remat_inner=True))
+        remat_inner=True), preprocess_fn=task.preprocess)
 
     @jax.jit
     def step(params, opt_state, key):

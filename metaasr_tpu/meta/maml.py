@@ -8,20 +8,30 @@ BASELINE.json:5,9,10). That orchestration is pure overhead on TPU.
 TPU-native formulation (BASELINE.json:5 "jax.grad-over-grad ... inner SGD
 steps unrolled under jit and accent tasks vmapped"):
 
-- the inner loop is ``inner_steps`` UNROLLED functional SGD updates:
+- the inner loop is ``lax.scan`` over functional SGD updates:
   ``p_{i+1} = p_i - lr * grad(loss)(p_i, support)`` — no copies, no
-  optimizer objects; each step optionally ``jax.checkpoint``-ed so full
-  second-order MAML's memory stays bounded (SURVEY.md section 7 'hard
-  parts');
-- FOMAML = ``stop_gradient`` on each inner gradient: the adapted params
-  then depend on the originals with identity Jacobian, so the outer grad
-  is exactly the query gradient at the adapted point (first-order MAML);
-- full MAML = same code WITHOUT stop_gradient: ``jax.grad`` of the query
-  loss through the unrolled inner updates is grad-over-grad;
+  optimizer objects; the step body (a full fwd+bwd) compiles ONCE
+  regardless of inner_steps; with remat each step's activations are
+  rematerialized so full second-order MAML's memory stays bounded
+  (SURVEY.md section 7 'hard parts');
+- FOMAML detaches the inner gradients' INPUT (``grad(loss)(stop_gradient
+  (p))``): the adapted params then depend on the originals with identity
+  Jacobian — the exact first-order approximation — and, because the
+  detachment is input-side, outer-grad linearization never touches the
+  inner-gradient computation (required for first-order-only custom-VJP
+  kernels like the Pallas CTC, and cheaper everywhere);
+- full MAML = the same code WITHOUT the detach: ``jax.grad`` of the query
+  loss through the scanned inner updates is grad-over-grad;
 - tasks are ``vmap``-ped over a leading axis [M, ...]; the outer gradient
   is the mean over the task axis. Under pjit with the task axis sharded
   over the mesh, that mean IS the only collective of the whole meta-step
-  (one psum; SURVEY.md section 5.8).
+  (one psum; SURVEY.md section 5.8);
+- an optional ``preprocess_fn`` (e.g. the audio front-end + SpecAugment)
+  runs ONCE per task batch, outside the inner loop — matching the
+  reference's apply-at-load-time semantics and removing k-1 redundant
+  front-end passes per task;
+- the support loss at step 0 falls out of the inner step's
+  ``value_and_grad`` for free (no separate logging forward).
 
 Everything here is generic over ``loss_fn(params, batch, rng, train) ->
 (scalar, aux)`` so the meta-gradient math is unit-tested against the
@@ -55,65 +65,59 @@ def sgd_update(params, grads, lr):
 
 def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
                      train: bool = True) -> Callable:
-    """Returns ``inner_adapt(params, support_batch, rng) -> adapted_params``.
+    """Returns ``inner_adapt(params, support_batch, rng) ->
+    (adapted_params, per_step_support_losses [inner_steps])``.
 
-    Differentiable through the unrolled steps unless cfg.first_order.
+    Differentiable through the scanned steps unless cfg.first_order.
     """
 
     def one_step(params, step_rng, batch):
-        # First-order: detach the INPUT of the inner gradient rather than
-        # its output. Semantically identical (adapted params depend on the
-        # originals with identity Jacobian either way), but input-side
-        # detachment makes every tangent through the inner-grad
-        # computation a symbolic zero, so the outer grad never linearizes
-        # through it — required for first-order-only custom-VJP kernels
-        # (Pallas CTC) and cheaper for everything else.
         at = jax.lax.stop_gradient(params) if cfg.first_order else params
-        grads = jax.grad(lambda p: loss_fn(p, batch, step_rng, train)[0])(at)
-        return sgd_update(params, grads, cfg.inner_lr)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, step_rng, train), has_aux=True)(at)
+        return sgd_update(params, grads, cfg.inner_lr), loss
 
     # Remat only matters when the outer grad flows THROUGH the inner steps
-    # (second-order MAML): it bounds the unrolled-loop activation memory.
-    # First-order cuts that path with stop_gradient, so remat would only
-    # add recompute (and jax.checkpoint's linearization does not compose
-    # with first-order custom_vjp kernels like the Pallas CTC).
+    # (second-order MAML). First-order cuts that path, so remat would only
+    # add recompute.
     if cfg.remat_inner and not cfg.first_order:
-        one_step = jax.checkpoint(one_step)
+        one_step = jax.checkpoint(one_step, static_argnums=())
 
     def inner_adapt(params, support_batch, rng):
-        # lax.scan over the k inner steps: the step body (a full fwd+bwd)
-        # traces and compiles ONCE regardless of inner_steps — the
-        # unrolled-python alternative multiplies HLO size (and compile
-        # time) by k. All steps reuse the same k-shot support batch, so
-        # only the PRNG key varies per step.
         def body(p, step_rng):
-            return one_step(p, step_rng, support_batch), None
+            p2, loss = one_step(p, step_rng, support_batch)
+            return p2, loss
 
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
             jnp.arange(cfg.inner_steps))
-        params, _ = jax.lax.scan(body, params, rngs)
-        return params
+        params, losses = jax.lax.scan(body, params, rngs)
+        return params, losses
 
     return inner_adapt
 
 
-def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig) -> Callable:
+def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig,
+                   preprocess_fn: Callable | None = None) -> Callable:
     """Returns ``meta_loss(params, meta_batch, rng) -> (scalar, aux)``.
 
     meta_batch: pytree whose leaves have leading task axis M, with fields
     ``support`` and ``query`` (each a batch pytree). The task dimension is
     vmapped; aux carries per-task support/query losses for logging
     (SURVEY.md section 2.1 #19 'per-task inner/outer loss').
+
+    ``preprocess_fn(batch, rng, train) -> batch`` runs once per task batch
+    outside the inner loop (front-end + augmentation).
     """
     inner_adapt = make_inner_adapt(loss_fn, cfg, train=True)
 
     def per_task(params, support, query, rng):
-        r_in, r_q, r_s = jax.random.split(rng, 3)
-        # support loss BEFORE adaptation (logged as the inner-loop signal)
-        s_loss = loss_fn(params, support, r_s, False)[0]
-        adapted = inner_adapt(params, support, r_in)
+        r_in, r_q, r_ps, r_pq = jax.random.split(rng, 4)
+        if preprocess_fn is not None:
+            support = preprocess_fn(support, r_ps, True)
+            query = preprocess_fn(query, r_pq, True)
+        adapted, s_losses = inner_adapt(params, support, r_in)
         q_loss, _ = loss_fn(adapted, query, r_q, True)
-        return q_loss, s_loss
+        return q_loss, s_losses[0]
 
     def meta_loss(params, meta_batch, rng):
         m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
@@ -128,10 +132,11 @@ def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig) -> Callable:
     return meta_loss
 
 
-def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig):
+def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
+               preprocess_fn: Callable | None = None):
     """Convenience: returns ``grad_fn(params, meta_batch, rng) ->
     (grads, metrics)`` suitable for an optax outer optimizer."""
-    meta_loss = make_meta_loss(loss_fn, cfg)
+    meta_loss = make_meta_loss(loss_fn, cfg, preprocess_fn)
 
     def grad_fn(params, meta_batch, rng):
         (loss, aux), grads = jax.value_and_grad(meta_loss, has_aux=True)(

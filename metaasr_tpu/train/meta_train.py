@@ -75,7 +75,8 @@ class MetaASRTrainer:
             tasks_per_batch=m.tasks_per_batch,
             num_samples=self._num_samples_cap(), num_tokens=d.max_tokens,
             seed=d.seed)
-        self._grad_fn = maml_grads(self._vmapped_loss_fn(), algo_config(cfg))
+        self._grad_fn = maml_grads(self._vmapped_loss_fn(), algo_config(cfg),
+                                   preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
 
     def _num_samples_cap(self) -> int:
@@ -173,7 +174,13 @@ class MetaASRTrainer:
             train=True)
         batch = {kk: jax.numpy.asarray(v) for kk, v in support.items()
                  if kk != "texts"}
-        adapted = jax.jit(inner)(params, batch, jax.random.PRNGKey(seed))
+
+        def adapt(p, b, r):
+            r_p, r_i = jax.random.split(r)
+            fb = self.task.preprocess(b, r_p, True)
+            return inner(p, fb, r_i)[0]
+
+        adapted = jax.jit(adapt)(params, batch, jax.random.PRNGKey(seed))
         return adapted, test_idx
 
     def decode(self, params, dataset, indices=None, max_utts: int = 100,

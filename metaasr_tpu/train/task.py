@@ -123,13 +123,28 @@ class ASRTask:
 
     # ---------- loss ----------
 
+    def preprocess(self, batch, rng=None, train: bool = False) -> dict:
+        """Audio batch -> feature batch (fbank + CMVN + SpecAugment).
+        In meta-training this runs ONCE per task batch, outside the inner
+        loop (maml.make_meta_loss preprocess_fn) — the reference applies
+        its front-end at load time (SURVEY.md section 3.1)."""
+        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"],
+                                         rng, train)
+        return {"feats": feats, "feat_lens": feat_lens,
+                "tokens": batch["tokens"], "token_lens": batch["token_lens"]}
+
     def loss_fn(self, params, batch, rng=None, train: bool = False):
-        """-> (scalar loss, metrics dict). Differentiable w.r.t. params."""
+        """-> (scalar loss, metrics dict). Differentiable w.r.t. params.
+        Accepts raw-audio batches (computes features inline) or
+        preprocessed feature batches (key 'feats')."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         f_rng, d_rng = jax.random.split(rng)
-        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"],
-                                        f_rng, train)
+        if "feats" in batch:
+            feats, feat_lens = batch["feats"], batch["feat_lens"]
+        else:
+            feats, feat_lens = self.features(batch["audio"],
+                                             batch["audio_lens"], f_rng, train)
         rngs = {"dropout": d_rng} if train else None
         if self.arch == "vgg_blstm":
             logits, out_lens = self.model.apply(

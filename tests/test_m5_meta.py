@@ -32,9 +32,13 @@ def test_inner_adapt_closed_form():
         cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=3, first_order=True,
                              remat_inner=remat)
         inner = make_inner_adapt(quad_loss, cfg)
-        adapted = inner({"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+        adapted, s_losses = inner({"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(adapted["w"]),
                                    np.asarray(w_k_expected), rtol=1e-5)
+        # support loss at step 0 = loss at the un-adapted params
+        np.testing.assert_allclose(float(s_losses[0]),
+                                   0.5 * float(jnp.sum((w - c_s) ** 2)),
+                                   rtol=1e-5)
 
 
 def test_fomaml_gradient_analytic():

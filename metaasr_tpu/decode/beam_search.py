@@ -126,14 +126,15 @@ def ctc_prefix_init(ctc_logp: jax.Array, enc_lens: jax.Array, k: int,
     return r_nb, r_b
 
 
-def batched_beam_search(decoder_step_fn, init_caches, enc: jax.Array,
+def batched_beam_search(decoder_step_fn, init_caches,
                         enc_lens: jax.Array, ctc_logits: jax.Array,
                         eos_id: int, cfg: BeamSearchConfig):
     """Run the search.
 
-    decoder_step_fn(tokens [N,1], step, caches, enc [N,T,D], enc_lens [N])
-        -> (log_probs [N, V], new_caches)   (N = B*K)
-    init_caches: decoder KV caches for N=B*K rows, length >= max_len.
+    decoder_step_fn(tokens [N,1], step, caches) -> (log_probs [N, V],
+    new_caches), N = B*K; the encoder context (precomputed cross K/V,
+    lengths) lives in the closure.
+    init_caches: decoder self-attn KV caches for N=B*K rows, len >= max_len.
     ctc_logits: [B, T, V] raw CTC head outputs on the encoder frames.
 
     Returns dict: tokens [B, K, L], lengths [B, K], scores [B, K] (sorted
@@ -143,9 +144,6 @@ def batched_beam_search(decoder_step_fn, init_caches, enc: jax.Array,
     k = cfg.beam_size
     l_max = cfg.max_len
     ctc_logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
-
-    enc_rep = jnp.repeat(enc, k, axis=0)                     # [B*K, T, D]
-    enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
 
     r_nb, r_b = ctc_prefix_init(ctc_logp, enc_lens, k, cfg.blank_id)
     state = {
@@ -165,8 +163,7 @@ def batched_beam_search(decoder_step_fn, init_caches, enc: jax.Array,
     def step_fn(state, step_idx):
         # 1) batched decoder step on all hypotheses
         att_logp, new_caches = decoder_step_fn(
-            state["last"].reshape(bsz * k, 1), step_idx, state["caches"],
-            enc_rep, enc_lens_rep)
+            state["last"].reshape(bsz * k, 1), step_idx, state["caches"])
         att_logp = att_logp.reshape(bsz, k, vocab)
 
         # 2) CTC prefix scores for every extension
@@ -270,17 +267,24 @@ def beam_search_transformer(model, params, feats, feat_lens, eos_id: int,
                             cfg: BeamSearchConfig):
     """Convenience wrapper: encode + CTC head + batched search for a
     TransformerASR model (params pytree, feats [B, T, D])."""
+    k = cfg.beam_size
     enc, enc_lens = model.apply({"params": params}, feats, feat_lens, False,
                                 method=model.encode)
     ctc_logits = model.apply({"params": params}, enc,
-                             method=lambda m, e: m.ctc_head(e))
+                             method=model.apply_ctc_head)
     bsz = feats.shape[0]
-    caches = model.apply({"params": params}, bsz * cfg.beam_size, cfg.max_len,
+    caches = model.apply({"params": params}, bsz * k, cfg.max_len,
                          method=model.decoder_init_state)
+    # encoder K/V projected ONCE per utterance, then broadcast across beams
+    cross = model.apply({"params": params}, enc,
+                        method=model.decoder_precompute_cross)
+    cross_rep = jax.tree_util.tree_map(lambda x: jnp.repeat(x, k, axis=0),
+                                       cross)
+    enc_lens_rep = jnp.repeat(enc_lens, k, axis=0)
 
-    def decoder_step_fn(tokens, step, caches, enc_rep, enc_lens_rep):
-        return model.apply({"params": params}, tokens, step, caches, enc_rep,
-                           enc_lens_rep, method=model.decoder_step)
+    def decoder_step_fn(tokens, step, caches):
+        return model.apply({"params": params}, tokens, step, caches, None,
+                           enc_lens_rep, cross_rep, method=model.decoder_step)
 
-    return batched_beam_search(decoder_step_fn, caches, enc, enc_lens,
+    return batched_beam_search(decoder_step_fn, caches, enc_lens,
                                ctc_logits, eos_id, cfg)

@@ -7,12 +7,16 @@ linear head, (b) transformer decoder with cross-attention; joint loss
 lambda*CTC + (1-lambda)*label-smoothed KL.
 
 TPU-first design decisions:
-- attention is einsum-only (no torch-style reshape gymnastics); softmax in
-  fp32, everything else in a configurable compute dtype (bfloat16 on TPU);
+- attention is einsum-only; softmax in fp32, everything else in a
+  configurable compute dtype (bfloat16 on TPU);
+- self-attention uses ONE fused QKV matmul (at d_model ~256 the MXU is
+  launch-bound, so 3 projections -> 1 matters);
+- cross-attention exposes a ``kv()`` method so decoding projects the
+  encoder K/V ONCE per utterance instead of once per decode step;
 - the decoder supports a FUNCTIONAL fixed-shape KV cache (explicit arrays
   threaded through ``decode_step``), so batched beam search runs entirely
-  on device under ``lax.while_loop``/``scan`` with static shapes
-  (BASELINE.json:5 "on-device batched hypothesis state");
+  on device under ``lax.scan`` with static shapes (BASELINE.json:5
+  "on-device batched hypothesis state");
 - masks are additive fp32 biases built from length vectors via iota
   comparisons — no boolean ragged shapes under jit.
 """
@@ -53,55 +57,79 @@ def causal_mask_bias(q_len: int, k_len: int, offset: int = 0) -> jax.Array:
     return jnp.where(k <= q + offset, 0.0, NEG_INF)[None, None].astype(jnp.float32)
 
 
-class MultiHeadAttention(nn.Module):
+def _attend(q, k, v, mask_bias, dtype):
+    """Core attention: fp32 scores/softmax, compute-dtype everything else."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    weights = jax.nn.softmax(scores + mask_bias, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(dtype))
+
+
+def init_kv_cache(bsz: int, max_len: int, num_heads: int, head_dim: int,
+                  dtype=jnp.float32) -> dict:
+    shape = (bsz, max_len, num_heads, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV multi-head self-attention with optional append cache."""
+
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, q_in: jax.Array, kv_in: jax.Array, mask_bias: jax.Array,
-                 cache: dict | None = None, cache_index: jax.Array | None = None):
-        """q_in [B, Q, D]; kv_in [B, K, D]; mask_bias broadcastable to
-        [B, H, Q, K].
-
-        Cache modes (decode):
-        - self-attn append: ``cache={'k': [B, Kmax, H, Dh], 'v': ...}`` with
-          ``cache_index`` = current step; the new K/V rows are written at
-          that index and attention runs over the full fixed-size cache
-          (mask_bias must hide future rows).
-        - cross-attn reuse: pass precomputed k/v via cache with
-          ``cache_index=None`` and kv_in=None.
-        """
+    def setup(self):
         dh = self.d_model // self.num_heads
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            (self.num_heads, dh), dtype=self.dtype, name=name)
-        q = dense("q")(q_in)
-        if cache is not None and cache_index is None:
-            k, v = cache["k"], cache["v"]  # precomputed cross-attn K/V
-        else:
-            k = dense("k")(kv_in)
-            v = dense("v")(kv_in)
-            if cache is not None:
-                # fixed-shape append at cache_index
-                k = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], k.astype(cache["k"].dtype), cache_index, axis=1)
-                v = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], v.astype(cache["v"].dtype), cache_index, axis=1)
-                cache = {"k": k, "v": v}
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-        weights = jax.nn.softmax(scores + mask_bias, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(self.dtype))
-        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
-                              name="out")(out)
-        return out, cache
+        self.qkv = nn.DenseGeneral((3, self.num_heads, dh), dtype=self.dtype,
+                                   name="qkv")
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                   dtype=self.dtype, name="out")
 
-    @staticmethod
-    def init_cache(bsz: int, max_len: int, num_heads: int, head_dim: int,
-                   dtype=jnp.float32) -> dict:
-        shape = (bsz, max_len, num_heads, head_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    def __call__(self, x: jax.Array, mask_bias: jax.Array,
+                 cache: dict | None = None,
+                 cache_index: jax.Array | None = None):
+        """x [B, Q, D]. Decode mode: ``cache={'k','v': [B, Kmax, H, Dh]}``
+        with ``cache_index`` = write position; attention runs over the full
+        fixed-size cache (mask_bias must hide future rows)."""
+        qkv = self.qkv(x)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if cache is not None:
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k.astype(cache["k"].dtype), cache_index, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v.astype(cache["v"].dtype), cache_index, axis=1)
+            cache = {"k": k, "v": v}
+        return self.out(_attend(q, k, v, mask_bias, self.dtype)), cache
+
+
+class CrossAttention(nn.Module):
+    """Decoder->encoder attention; K/V precomputable per utterance."""
+
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dh = self.d_model // self.num_heads
+        proj = lambda name: nn.DenseGeneral(  # noqa: E731
+            (self.num_heads, dh), dtype=self.dtype, name=name)
+        self.q_proj = proj("q")
+        self.k_proj = proj("k")
+        self.v_proj = proj("v")
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                   dtype=self.dtype, name="out")
+
+    def kv(self, enc: jax.Array) -> dict:
+        """Project encoder K/V once (reused across all decode steps)."""
+        return {"k": self.k_proj(enc), "v": self.v_proj(enc)}
+
+    def __call__(self, q_in: jax.Array, enc: jax.Array | None,
+                 mask_bias: jax.Array, kv_cache: dict | None = None):
+        q = self.q_proj(q_in)
+        kv = kv_cache if kv_cache is not None else self.kv(enc)
+        return self.out(_attend(q, kv["k"], kv["v"], mask_bias, self.dtype))
 
 
 class FeedForward(nn.Module):
@@ -125,16 +153,20 @@ class EncoderLayer(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, mask_bias, train: bool):
+    def setup(self):
         # pre-LN (normalize_before) — the stable ESPnet configuration
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
-        y, _ = MultiHeadAttention(self.d_model, self.num_heads, self.dtype,
-                                  name="self_attn")(y, y, mask_bias)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
-        y = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)(y, train)
-        return x + nn.Dropout(self.dropout, deterministic=not train)(y)
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        self.attn = SelfAttention(self.d_model, self.num_heads, self.dtype,
+                                  name="self_attn")
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, mask_bias, train: bool):
+        y, _ = self.attn(self.norm1(x), mask_bias)
+        x = x + self.drop(y, deterministic=not train)
+        y = self.ff(self.norm2(x), train)
+        return x + self.drop(y, deterministic=not train)
 
 
 class Conv2dSubsampling(nn.Module):
@@ -194,22 +226,30 @@ class DecoderLayer(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm3 = nn.LayerNorm(dtype=jnp.float32)
+        self.self_attn = SelfAttention(self.d_model, self.num_heads,
+                                       self.dtype, name="self_attn")
+        self.cross_attn = CrossAttention(self.d_model, self.num_heads,
+                                         self.dtype, name="cross_attn")
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, self_bias, enc, cross_bias, train: bool,
-                 self_cache=None, cache_index=None, cross_cache=None):
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
-        y, self_cache = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dtype, name="self_attn")(
-            y, y, self_bias, cache=self_cache, cache_index=cache_index)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
-        y, _ = MultiHeadAttention(
-            self.d_model, self.num_heads, self.dtype, name="cross_attn")(
-            y, enc, cross_bias, cache=cross_cache, cache_index=None)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.LayerNorm(dtype=jnp.float32)(x)
-        y = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)(y, train)
-        return x + nn.Dropout(self.dropout, deterministic=not train)(y), self_cache
+                 self_cache=None, cache_index=None, cross_kv=None):
+        y, self_cache = self.self_attn(self.norm1(x), self_bias,
+                                       cache=self_cache,
+                                       cache_index=cache_index)
+        x = x + self.drop(y, deterministic=not train)
+        y = self.cross_attn(self.norm2(x), enc, cross_bias, kv_cache=cross_kv)
+        x = x + self.drop(y, deterministic=not train)
+        y = self.ff(self.norm3(x), train)
+        return x + self.drop(y, deterministic=not train), self_cache
+
+    def cross_kv(self, enc):
+        return self.cross_attn.kv(enc.astype(self.dtype))
 
 
 class Decoder(nn.Module):
@@ -256,23 +296,34 @@ class Decoder(nn.Module):
 
     def init_state(self, bsz: int, max_decode_len: int) -> list[dict]:
         dh = self.d_model // self.num_heads
-        return [MultiHeadAttention.init_cache(bsz, max_decode_len,
-                                              self.num_heads, dh, self.dtype)
+        return [init_kv_cache(bsz, max_decode_len, self.num_heads, dh,
+                              self.dtype)
                 for _ in range(self.num_layers)]
 
-    def decode_step(self, tokens, step, caches, enc, enc_lens):
+    def precompute_cross(self, enc) -> list[dict]:
+        """Per-layer encoder K/V, projected once per utterance."""
+        return [layer.cross_kv(enc) for layer in self.layers]
+
+    def decode_step(self, tokens, step, caches, enc, enc_lens,
+                    cross_caches=None):
         """One incremental step: tokens [B, 1] (the last emitted token),
         ``step`` scalar index, fixed-shape caches -> (log_probs [B, V],
-        new caches)."""
+        new caches). ``cross_caches`` (from precompute_cross) makes ``enc``
+        optional; enc_lens is always required for the cross mask."""
         x = self._embed_pos(tokens, start=step)
         kmax = caches[0]["k"].shape[1]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kmax), 3)
         self_bias = jnp.where(pos <= step, 0.0, NEG_INF).astype(jnp.float32)
-        cross_bias = length_mask_bias(enc_lens, enc.shape[1])
+        t_enc = (cross_caches[0]["k"].shape[1] if cross_caches is not None
+                 else enc.shape[1])
+        cross_bias = length_mask_bias(enc_lens, t_enc)
+        enc_c = enc.astype(self.dtype) if enc is not None else None
         new_caches = []
-        for layer, cache in zip(self.layers, caches):
-            x, cache = layer(x, self_bias, enc.astype(self.dtype), cross_bias,
-                             train=False, self_cache=cache, cache_index=step)
+        for i, (layer, cache) in enumerate(zip(self.layers, caches)):
+            x, cache = layer(
+                x, self_bias, enc_c, cross_bias, train=False,
+                self_cache=cache, cache_index=step,
+                cross_kv=None if cross_caches is None else cross_caches[i])
             new_caches.append(cache)
         logits = self.out_proj(self.final_norm(x))[:, 0]  # [B, V]
         return jax.nn.log_softmax(logits, axis=-1), new_caches
@@ -320,8 +371,16 @@ class TransformerASR(nn.Module):
         enc, enc_lens = self.encode(feats, feat_lens, train)
         return self.ctc_head(enc), enc_lens
 
+    def apply_ctc_head(self, enc):
+        return self.ctc_head(enc)
+
     def decoder_init_state(self, bsz: int, max_decode_len: int):
         return self.decoder.init_state(bsz, max_decode_len)
 
-    def decoder_step(self, tokens, step, caches, enc, enc_lens):
-        return self.decoder.decode_step(tokens, step, caches, enc, enc_lens)
+    def decoder_precompute_cross(self, enc):
+        return self.decoder.precompute_cross(enc)
+
+    def decoder_step(self, tokens, step, caches, enc, enc_lens,
+                     cross_caches=None):
+        return self.decoder.decode_step(tokens, step, caches, enc, enc_lens,
+                                        cross_caches)

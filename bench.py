@@ -84,23 +84,27 @@ def measure_jax(steps: int = 20) -> float:
         remat_inner=True), preprocess_fn=task.preprocess)
 
     @jax.jit
-    def step(params, opt_state, key):
-        grads, metrics = grad_fn(params, meta_batch, key)
+    def step(params, opt_state, mb, key):
+        grads, metrics = grad_fn(params, mb, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics["meta_loss"]
 
     key = jax.random.PRNGKey(0)
-    params, opt_state, loss = step(params, opt_state, key)  # compile
+    params, opt_state, loss = step(params, opt_state, meta_batch, key)
+    jax.block_until_ready(loss)  # compile
+    for _ in range(3):  # warmup
+        params, opt_state, loss = step(params, opt_state, meta_batch, key)
     jax.block_until_ready(loss)
-    times = []
+    # Throughput methodology: enqueue all steps, block once — measures
+    # sustained device time (the training loop overlaps host dispatch),
+    # not per-step host sync latency.
+    t0 = time.perf_counter()
     for i in range(steps):
         key = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, key)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        params, opt_state, loss = step(params, opt_state, meta_batch, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
     utts = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
     return utts / dt
 

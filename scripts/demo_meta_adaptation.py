@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""End-to-end quality demonstration (the BASELINE.json:2 metric story):
+
+meta-train FOMAML over accent tasks on the synthetic multi-accent set,
+hold out one accent, then measure WER on it:
+  (a) zero-shot (meta params, no adaptation)
+  (b) after 5-shot adaptation (meta_adapt)
+  (c) a multitask (no-meta) baseline trained with the same budget, same
+      5-shot adaptation
+with greedy and joint CTC/attention beam decoding. Writes RESULTS.md.
+
+Run: python scripts/demo_meta_adaptation.py [--steps N] [--out RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from metaasr_tpu.config import Config
+from metaasr_tpu.data.dataset import load_accent_datasets
+from metaasr_tpu.data.synthetic import generate_dataset
+from metaasr_tpu.data.tokenizer import CharTokenizer
+from metaasr_tpu.train.meta_train import MetaASRTrainer
+from metaasr_tpu.train.mono import MultitaskASRTrainer
+from metaasr_tpu.train.task import ASRTask
+
+HELDOUT = "tango"
+
+
+def make_cfg(algo: str, steps: int) -> Config:
+    cfg = Config()
+    cfg.model.arch = "transformer"
+    cfg.model.d_model = 128
+    cfg.model.num_heads = 4
+    cfg.model.d_ff = 512
+    cfg.model.num_encoder_layers = 4
+    cfg.model.num_decoder_layers = 2
+    cfg.model.dropout = 0.1
+    cfg.model.dtype = "bfloat16"
+    cfg.specaug.enabled = True
+    cfg.specaug.freq_mask_width = 15
+    cfg.specaug.time_mask_width = 30
+    cfg.meta.algo = algo
+    cfg.meta.inner_lr = 0.03
+    cfg.meta.inner_steps = 3
+    cfg.meta.k_support = 8
+    cfg.meta.k_query = 8
+    cfg.meta.tasks_per_batch = 4
+    cfg.meta.adapt_steps = 5
+    cfg.data.max_frames = 400
+    cfg.data.max_tokens = 32
+    cfg.data.batch_size = 32
+    cfg.optimizer.name = "adam"
+    cfg.optimizer.lr = 2e-3
+    cfg.optimizer.schedule = "constant"
+    cfg.optimizer.grad_clip = 5.0
+    cfg.train.max_steps = steps
+    cfg.train.log_every = max(steps // 10, 1)
+    cfg.train.eval_every = 10 ** 9
+    cfg.train.ckpt_every = 10 ** 9
+    cfg.train.beam_size = 5
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--data-dir", default="/tmp/demo_synth")
+    ap.add_argument("--workdir", default="/tmp/demo_runs")
+    ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--utts-per-accent", type=int, default=192)
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.data_dir, f"{HELDOUT}.jsonl")):
+        generate_dataset(args.data_dir, utts_per_accent=args.utts_per_accent,
+                         words_per_utt=(2, 4), seed=0)
+    tok = CharTokenizer.ascii_default()
+
+    results = {}
+    for algo in ("fomaml", "multi"):
+        cfg = make_cfg(algo, args.steps)
+        cfg.model.vocab_size = tok.vocab_size
+        dsets = load_accent_datasets(args.data_dir, tok)
+        heldout = {HELDOUT: dsets.pop(HELDOUT)}
+        task = ASRTask(cfg, tok.sos_eos_id)
+        wd = os.path.join(args.workdir, algo)
+        t0 = time.time()
+        if algo == "multi":
+            trainer = MultitaskASRTrainer(cfg, task, dsets, None, tok, wd)
+            state = trainer.train(max_steps=args.steps)
+            # reuse the meta trainer for adaptation/decode APIs
+            cfg2 = make_cfg("fomaml", args.steps)
+            cfg2.model.vocab_size = tok.vocab_size
+            meta_tr = MetaASRTrainer(cfg2, task, dsets, heldout, tok, wd + "_eval")
+        else:
+            trainer = MetaASRTrainer(cfg, task, dsets, heldout, tok, wd)
+            state = trainer.meta_train(max_steps=args.steps)
+            meta_tr = trainer
+        train_time = time.time() - t0
+
+        ds = heldout[HELDOUT]
+        entry = {"train_seconds": round(train_time, 1)}
+        # zero-shot
+        zs_idx = list(range(len(ds)))[max(cfg.meta.k_support, 8):]
+        entry["zero_shot_greedy"] = meta_tr.decode(state.params, ds, zs_idx,
+                                                   max_utts=64)
+        # 5-shot adaptation, 2 seeds
+        for seed in (0, 1):
+            adapted, test_idx = meta_tr.meta_adapt(state.params, ds,
+                                                   adapt_steps=5, seed=seed)
+            entry[f"adapt5_greedy_seed{seed}"] = meta_tr.decode(
+                adapted, ds, test_idx, max_utts=64)
+            if seed == 0:
+                entry["adapt5_beam_seed0"] = meta_tr.decode(
+                    adapted, ds, test_idx, max_utts=64, mode="beam")
+        results[algo] = entry
+        print(json.dumps({algo: entry}, indent=2), flush=True)
+
+    lines = [
+        "# RESULTS — held-out-accent k-shot adaptation (synthetic multi-accent set)",
+        "",
+        f"Setup: 7 training accents + held-out `{HELDOUT}`; transformer "
+        "(d=128, 4 enc / 2 dec layers, joint CTC+attention); "
+        f"{args.steps} train steps each; 5-shot adaptation with 3x inner "
+        "SGD replayed 5 steps (meta.adapt_steps); WER/CER on >=64 held-out "
+        "test utterances. Data: synthetic accent-structured audio "
+        "(scripts/prepare_data.py synthetic) — real Common Voice is "
+        "unreachable from this environment (no network).",
+        "",
+        "| trainer | zero-shot WER | 5-shot WER (s0) | 5-shot WER (s1) | 5-shot beam WER | zero-shot CER | 5-shot CER (s0) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for algo in ("fomaml", "multi"):
+        e = results[algo]
+        lines.append(
+            f"| {algo} | {e['zero_shot_greedy']['wer']:.3f} "
+            f"| {e['adapt5_greedy_seed0']['wer']:.3f} "
+            f"| {e['adapt5_greedy_seed1']['wer']:.3f} "
+            f"| {e['adapt5_beam_seed0']['wer']:.3f} "
+            f"| {e['zero_shot_greedy']['cer']:.3f} "
+            f"| {e['adapt5_greedy_seed0']['cer']:.3f} |")
+    lines += ["", "Raw JSON:", "```json", json.dumps(results, indent=2), "```"]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

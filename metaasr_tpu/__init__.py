@@ -19,3 +19,7 @@ and BASELINE.json (binding functional spec).
 """
 
 __version__ = "0.1.0"
+
+from metaasr_tpu.config import Config, load_config, save_config  # noqa: E402
+
+__all__ = ["Config", "load_config", "save_config", "__version__"]

@@ -167,21 +167,31 @@ class MetaASRTrainer:
         support, test_idx = support_query_split(
             accent_dataset, k, self._num_samples_cap(),
             self.cfg.data.max_tokens, seed=seed)
-        inner = make_inner_adapt(
-            self.task.loss_fn,
-            MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
-                           first_order=True, remat_inner=False),
-            train=True)
         batch = {kk: jax.numpy.asarray(v) for kk, v in support.items()
                  if kk != "texts"}
-
-        def adapt(p, b, r):
-            r_p, r_i = jax.random.split(r)
-            fb = self.task.preprocess(b, r_p, True)
-            return inner(p, fb, r_i)[0]
-
-        adapted = jax.jit(adapt)(params, batch, jax.random.PRNGKey(seed))
+        adapted = self._jit_adapt(steps)(params, batch,
+                                         jax.random.PRNGKey(seed))
         return adapted, test_idx
+
+    def _jit_adapt(self, steps: int):
+        """Cached jitted k-shot adaptation fn (avoids retracing per eval)."""
+        if not hasattr(self, "_adapt_cache"):
+            self._adapt_cache = {}
+        if steps not in self._adapt_cache:
+            m = self.cfg.meta
+            inner = make_inner_adapt(
+                self.task.loss_fn,
+                MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
+                               first_order=True, remat_inner=False),
+                train=True)
+
+            def adapt(p, b, r):
+                r_p, r_i = jax.random.split(r)
+                fb = self.task.preprocess(b, r_p, True)
+                return inner(p, fb, r_i)[0]
+
+            self._adapt_cache[steps] = jax.jit(adapt)
+        return self._adapt_cache[steps]
 
     def decode(self, params, dataset, indices=None, max_utts: int = 100,
                mode: str = "greedy") -> dict:

@@ -23,10 +23,23 @@ from metaasr_tpu.data.tokenizer import CharTokenizer, PhoneTokenizer
 
 def build_tokenizer(cfg: Config, datasets=None):
     if cfg.data.vocab == "phone":
-        tok = PhoneTokenizer.arpabet_default()
-    else:
-        tok = CharTokenizer.ascii_default()
-    return tok
+        return PhoneTokenizer.arpabet_default()
+    if cfg.data.vocab == "bpe":
+        from metaasr_tpu.data.bpe import BPETokenizer
+        from metaasr_tpu.data.dataset import Manifest, discover_accents
+
+        vocab_path = os.path.join(cfg.data.data_dir, "vocab_bpe.json")
+        if os.path.exists(vocab_path):
+            return BPETokenizer.load(vocab_path)
+        texts = []
+        for accent in discover_accents(cfg.data.data_dir):
+            man = Manifest.load(os.path.join(cfg.data.data_dir,
+                                             f"{accent}.jsonl"))
+            texts.extend(u.text for u in man.utts)
+        tok = BPETokenizer.from_corpus(texts)
+        tok.save(vocab_path)
+        return tok
+    return CharTokenizer.ascii_default()
 
 
 def _parse_override(kv: str):

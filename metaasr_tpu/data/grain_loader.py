@@ -9,8 +9,6 @@ BucketBatcher stays the simple default; this loader is the scale path.
 
 from __future__ import annotations
 
-import numpy as np
-
 from metaasr_tpu.data.sampler import collate
 
 try:

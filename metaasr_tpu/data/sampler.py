@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from metaasr_tpu.utils.padding import bucket_length, pad_to
+from metaasr_tpu.utils.padding import bucket_length
 
 # Waveform-length buckets (samples @16k): 1s, 2s, 4s, 8s, 16s.
 DEFAULT_SAMPLE_BUCKETS = (16000, 32000, 64000, 128000, 256000)

@@ -133,6 +133,7 @@ def cmd_features(args):
 
 
 def cmd_vocab(args):
+    from metaasr_tpu.data.bpe import BPETokenizer
     from metaasr_tpu.data.dataset import Manifest, discover_accents
     from metaasr_tpu.data.tokenizer import CharTokenizer, PhoneTokenizer
 
@@ -141,8 +142,12 @@ def cmd_vocab(args):
         man = Manifest.load(os.path.join(args.data_dir, f"{accent}.jsonl"))
         for u in man.utts:
             texts.append(u.phones if args.type == "phone" else u.text)
-    tok = (PhoneTokenizer.from_corpus(texts) if args.type == "phone"
-           else CharTokenizer.from_corpus(texts))
+    if args.type == "phone":
+        tok = PhoneTokenizer.from_corpus(texts)
+    elif args.type == "bpe":
+        tok = BPETokenizer.from_corpus(texts, num_merges=args.bpe_merges)
+    else:
+        tok = CharTokenizer.from_corpus(texts)
     out = os.path.join(args.data_dir, f"vocab_{args.type}.json")
     tok.save(out)
     print(f"{out}: {tok.vocab_size} tokens")
@@ -177,7 +182,8 @@ def main():
 
     s = sub.add_parser("vocab")
     s.add_argument("--data-dir", required=True)
-    s.add_argument("--type", choices=["char", "phone"], default="char")
+    s.add_argument("--type", choices=["char", "phone", "bpe"], default="char")
+    s.add_argument("--bpe-merges", type=int, default=200)
     s.set_defaults(fn=cmd_vocab)
 
     args = p.parse_args()

@@ -124,3 +124,26 @@ def test_task_sampler_deterministic_resume(synthetic_data_dir):
     # different steps differ
     assert not np.array_equal(a.sample(0)["support"]["audio"],
                               a.sample(1)["support"]["audio"])
+
+
+def test_bpe_tokenizer(tmp_path):
+    from metaasr_tpu.data.bpe import BPETokenizer
+
+    corpus = ["the cat sat on the mat", "the cat ran", "a cat and the mat",
+              "the the the cat cat"] * 5
+    tok = BPETokenizer.from_corpus(corpus, num_merges=30)
+    # round trip
+    for text in ("the cat sat", "a cat on the mat"):
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
+        assert ids.min() >= 1 and ids.max() < tok.sos_eos_id
+    # merges compress: "the" should be fewer units than its chars
+    assert len(tok.encode("the the the")) < len("thethethe")
+    # save/load round trip
+    p = tmp_path / "bpe.json"
+    tok.save(str(p))
+    tok2 = BPETokenizer.load(str(p))
+    assert np.array_equal(tok.encode("the cat"), tok2.encode("the cat"))
+    # deterministic training
+    tok3 = BPETokenizer.from_corpus(corpus, num_merges=30)
+    assert tok.symbols == tok3.symbols and tok.merges == tok3.merges

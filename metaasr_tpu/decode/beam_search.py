@@ -50,19 +50,27 @@ class BeamSearchConfig:
     ctc_weight: float = 0.3
     length_penalty: float = 0.0
     blank_id: int = BLANK_ID
+    # CTC-score only the top-N attention candidates per hypothesis
+    # (ESPnet's ctc candidate pruning). 0 = score the full vocabulary.
+    # eos is always included on top. Essential for large (BPE) vocabs:
+    # prefix-scan work scales with the candidate count, not |V|.
+    ctc_candidates: int = 0
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
                     r_nb: jax.Array, r_b: jax.Array, last: jax.Array,
-                    empty: jax.Array, blank_id: int):
-    """Extend every hypothesis with every candidate token, one frame scan.
+                    empty: jax.Array, blank_id: int,
+                    cand: jax.Array | None = None):
+    """Extend every hypothesis with candidate tokens, one frame scan.
 
     ctc_logp: [B, T, V]; r_nb/r_b: [B, K, T] prefix probs of current hyps;
-    last: [B, K] last emitted token; empty: [B, K] bool (zero-length hyp).
+    last: [B, K] last emitted token; empty: [B, K] bool (zero-length hyp);
+    cand: optional [B, K, C] candidate token ids (None => all V tokens).
 
-    Returns (new_r_nb [B,K,V,T], new_r_b [B,K,V,T], ctc_score [B,K,V],
+    Returns (new_r_nb [B,K,C,T], new_r_b [B,K,C,T], ctc_score [B,K,C],
     complete_score [B,K]): prefix arrays and cumulative CTC prefix log-prob
-    for each extension, plus the 'h as complete sequence' score (for eos).
+    psi for each extension, plus the 'h as complete sequence' score gamma
+    (for eos).
     """
     bsz, t_len, vocab = ctc_logp.shape
     k = r_nb.shape[1]
@@ -72,20 +80,31 @@ def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
     r_b_prev = jnp.concatenate([r_b_m1[:, :, None], r_b[:, :, :-1]], axis=2)
     r_nb_prev = jnp.concatenate([r_nb_m1[:, :, None], r_nb[:, :, :-1]], axis=2)
 
-    cand = jax.lax.broadcasted_iota(jnp.int32, (1, 1, vocab), 2)
-    not_repeat = cand != last[:, :, None]                    # [B, K, V]
+    if cand is None:
+        cand_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, vocab), 2)
+    else:
+        cand_ids = cand.astype(jnp.int32)                    # [B, K, C]
+    not_repeat = cand_ids != last[:, :, None]                # bcast [B, K, C]
 
-    lp_tok = jnp.moveaxis(ctc_logp, 1, 0)[:, :, None, :]     # [T, B, 1, V]
+    lp_rows = jnp.moveaxis(ctc_logp, 1, 0)                   # [T, B, V]
     lp_blank = jnp.moveaxis(ctc_logp[:, :, blank_id], 1, 0)[:, :, None, None]
     rb_p = jnp.moveaxis(r_b_prev, 2, 0)[:, :, :, None]       # [T, B, K, 1]
     rnb_p = jnp.moveaxis(r_nb_prev, 2, 0)[:, :, :, None]
     t_active = (jax.lax.broadcasted_iota(jnp.int32, (t_len, 1, 1, 1), 0)
                 < enc_lens[None, :, None, None])             # [T, B, 1, 1]
 
+    def gather_lp(row):
+        """[B, V] frame log-probs -> [B, 1|K, C] candidate log-probs."""
+        if cand is None:
+            return row[:, None, :]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(row[:, None, :], (bsz, k, vocab)), cand_ids, 2)
+
     def step(carry, xs):
-        c_nb, c_b, c_psi = carry                             # [B, K, V]
-        lp_c, lp_bl, rbp, rnbp, act = xs
-        phi = _lae(rbp, jnp.where(not_repeat, rnbp, NEG))    # phi(t-1), [B,K,V]
+        c_nb, c_b, c_psi = carry                             # [B, K, C]
+        lp_row, lp_bl, rbp, rnbp, act = xs
+        lp_c = gather_lp(lp_row)
+        phi = _lae(rbp, jnp.where(not_repeat, rnbp, NEG))    # phi(t-1), [B,K,C]
         n_nb = _lae(c_nb, phi) + lp_c
         n_b = _lae(c_b, c_nb) + lp_bl
         # prefix probability psi(h+c) = sum_t phi(t-1) * p_t(c)
@@ -95,9 +114,10 @@ def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
         n_psi = jnp.where(act, n_psi, c_psi)
         return (n_nb, n_b, n_psi), (n_nb, n_b)
 
-    neg0 = jnp.full((bsz, k, vocab), NEG)
+    n_cand = vocab if cand is None else cand_ids.shape[2]
+    neg0 = jnp.full((bsz, k, n_cand), NEG)
     (_, _, psi), (seq_nb, seq_b) = jax.lax.scan(
-        step, (neg0, neg0, neg0), (lp_tok, lp_blank, rb_p, rnb_p, t_active))
+        step, (neg0, neg0, neg0), (lp_rows, lp_blank, rb_p, rnb_p, t_active))
 
     new_r_nb = jnp.moveaxis(seq_nb, 0, 3)                    # [B, K, V, T]
     new_r_b = jnp.moveaxis(seq_b, 0, 3)
@@ -160,39 +180,64 @@ def batched_beam_search(decoder_step_fn, init_caches,
         "caches": init_caches,
     }
 
+    n_cand = vocab if cfg.ctc_candidates <= 0 else min(
+        cfg.ctc_candidates + 1, vocab)  # +1: eos always included
+
     def step_fn(state, step_idx):
         # 1) batched decoder step on all hypotheses
         att_logp, new_caches = decoder_step_fn(
             state["last"].reshape(bsz * k, 1), step_idx, state["caches"])
         att_logp = att_logp.reshape(bsz, k, vocab)
 
-        # 2) CTC prefix scores for every extension
+        # 2) candidate set: full vocabulary, or top-N by attention score
+        #    (+ eos), CTC prefix-scored
+        if n_cand == vocab:
+            cand = None
+            cand_att_logp = att_logp
+        else:
+            masked = att_logp.at[:, :, cfg.blank_id].set(NEG)
+            masked = masked.at[:, :, eos_id].set(NEG)
+            _, top_ids = jax.lax.top_k(masked, n_cand - 1)     # [B, K, C-1]
+            cand = jnp.concatenate(
+                [top_ids, jnp.full((bsz, k, 1), eos_id, jnp.int32)], axis=2)
+            cand_att_logp = jnp.take_along_axis(att_logp, cand, axis=2)
         new_r_nb, new_r_b, ctc_ext, ctc_complete = ctc_prefix_step(
             ctc_logp, enc_lens, state["r_nb"], state["r_b"], state["last"],
-            state["empty"], cfg.blank_id)
+            state["empty"], cfg.blank_id, cand=cand)
 
-        # 3) combined candidate scores [B, K, V]
-        att_new = state["att_cum"][:, :, None] + att_logp
+        # 3) combined candidate scores [B, K, C]
+        att_new = state["att_cum"][:, :, None] + cand_att_logp
         w = cfg.ctc_weight
-        cand_ctc = ctc_ext.at[:, :, eos_id].set(ctc_complete)
-        # blank is never a decoder output: forbid it
+        if cand is None:
+            cand_ctc = ctc_ext.at[:, :, eos_id].set(ctc_complete)
+            is_eos_slot = (jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, vocab), 2) == eos_id)
+        else:
+            is_eos_slot = cand == eos_id
+            cand_ctc = jnp.where(is_eos_slot,
+                                 ctc_complete[:, :, None], ctc_ext)
         scores = (1 - w) * att_new + w * cand_ctc
         scores = scores + cfg.length_penalty * (state["length"] + 1)[:, :, None]
-        scores = scores.at[:, :, cfg.blank_id].set(NEG)
+        if cand is None:
+            scores = scores.at[:, :, cfg.blank_id].set(NEG)  # never emit blank
         # dead hyps propose nothing; finished hyps propose only frozen self
         alive_scores = jnp.where(state["finished"][:, :, None], NEG, scores)
         alive_scores = jnp.where(state["score"][:, :, None] <= NEG / 2, NEG,
                                  alive_scores)
-        frozen = jnp.full((bsz, k, vocab), NEG).at[:, :, eos_id].set(0.0)
-        frozen = frozen + state["score"][:, :, None]
+        frozen = jnp.where(is_eos_slot, state["score"][:, :, None], NEG)
         cand_scores = jnp.where(state["finished"][:, :, None], frozen,
                                 alive_scores)
 
-        # 4) top-K over K*V
-        flat = cand_scores.reshape(bsz, k * vocab)
+        # 4) top-K over K*C
+        flat = cand_scores.reshape(bsz, k * n_cand)
         top_scores, top_idx = jax.lax.top_k(flat, k)          # [B, K]
-        parent = top_idx // vocab
-        token = (top_idx % vocab).astype(jnp.int32)
+        parent = top_idx // n_cand
+        slot = (top_idx % n_cand).astype(jnp.int32)
+        if cand is None:
+            token = slot
+        else:
+            token = jnp.take_along_axis(
+                cand.reshape(bsz, k * n_cand), top_idx, axis=1).astype(jnp.int32)
 
         def sel(x):
             """gather parent rows of a [B, K, ...] array."""
@@ -219,11 +264,11 @@ def batched_beam_search(decoder_step_fn, init_caches,
             parent_att + jnp.take_along_axis(
                 sel(att_logp), token[:, :, None], 2)[..., 0])
 
-        # CTC prefix arrays: select [parent, token] rows
-        def sel_cand(x):                                      # [B,K,V,T]
+        # CTC prefix arrays: select [parent, slot] rows
+        def sel_cand(x):                                      # [B,K,C,T]
             p = sel(x)                                        # parent rows
             return jnp.take_along_axis(
-                p, token[:, :, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+                p, slot[:, :, None, None].astype(jnp.int32), axis=2)[:, :, 0]
 
         keep_r = (stay | now_finish)[:, :, None]
         new_rnb = jnp.where(keep_r, sel(state["r_nb"]), sel_cand(new_r_nb))

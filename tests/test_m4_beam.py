@@ -227,3 +227,34 @@ def test_beam1_ctc0_equals_greedy_attention(rng):
             toks.append(nxt)
         got = list(np.asarray(out["tokens"][b, 0, : int(out["lengths"][b, 0])]))
         assert got == toks, (got, toks)
+
+
+def test_ctc_candidate_pruning_matches_full(rng):
+    """With ctc_candidates >= V-2 (all non-blank tokens), the pruned path
+    must reproduce the full-vocabulary search exactly."""
+    model, params, feats, lens = _model_and_inputs(rng)
+    full = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3))
+    pruned = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3,
+                         ctc_candidates=VOCAB - 2))
+    for b in range(feats.shape[0]):
+        t1 = list(np.asarray(full["tokens"][b, 0, : int(full["lengths"][b, 0])]))
+        t2 = list(np.asarray(pruned["tokens"][b, 0, : int(pruned["lengths"][b, 0])]))
+        assert t1 == t2
+        np.testing.assert_allclose(float(full["scores"][b, 0]),
+                                   float(pruned["scores"][b, 0]), rtol=1e-5)
+
+
+def test_ctc_candidate_pruning_small_c_decodes(rng):
+    """Aggressive pruning (C=2) still returns valid, finished hypotheses."""
+    model, params, feats, lens = _model_and_inputs(rng)
+    out = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=2, max_len=5, ctc_weight=0.3,
+                         ctc_candidates=2))
+    toks = np.asarray(out["tokens"])
+    assert ((toks >= 0) & (toks < VOCAB)).all()
+    assert np.asarray(out["scores"]).max() > NEG / 2

@@ -14,6 +14,7 @@ the result is cached in .bench_baseline.json (delete to re-measure).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -83,7 +84,7 @@ def measure_jax(steps: int = 20) -> float:
         inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
         remat_inner=True), preprocess_fn=task.preprocess)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, mb, key):
         grads, metrics = grad_fn(params, mb, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)

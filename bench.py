@@ -45,6 +45,9 @@ def measure_jax(steps: int = 20) -> float:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(_CACHE), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # hardware RNG for dropout/SpecAugment masks (threefry costs ~10%
+        # of the meta-step at these sizes)
+        jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
     import optax

@@ -126,6 +126,11 @@ def main(argv=None):
         overrides["train.max_steps"] = args.max_steps
     cfg = load_config(args.config, overrides)
 
+    if cfg.train.prng_impl:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
+
     os.makedirs(args.workdir, exist_ok=True)
     save_config(cfg, os.path.join(args.workdir, "config.yaml"))
 

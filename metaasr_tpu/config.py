@@ -132,6 +132,10 @@ class TrainConfig:
     beam_size: int = 10
     decode_ctc_weight: float = 0.3
     length_penalty: float = 0.0
+    # PRNG implementation: "rbg" (TPU hardware generator; ~13% faster
+    # meta-steps than threefry at these sizes) or "threefry" (splittable
+    # reference PRNG). Applied at CLI/bench startup.
+    prng_impl: str = "rbg"
 
 
 @dataclass

@@ -136,6 +136,11 @@ class TrainConfig:
     # meta-steps than threefry at these sizes) or "threefry" (splittable
     # reference PRNG). Applied at CLI/bench startup.
     prng_impl: str = "rbg"
+    # stop after N dev evals without improvement (0 = off) — the
+    # reference's early stop on dev (SURVEY.md section 2.1 #3)
+    early_stop_patience: int = 0
+    # log N decoded dev samples per eval (SURVEY.md section 2.1 #19)
+    log_text_samples: int = 2
 
 
 @dataclass

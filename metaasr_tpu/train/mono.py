@@ -89,6 +89,7 @@ class MonoASRTrainer:
         state = self.init_state()
         state, _restored_step = self.ckpt.restore(state)
         best_metric = float("inf")
+        stale_evals = 0
         data = itertools.chain.from_iterable(iter(self.batcher) for _ in itertools.count())
         t0, utts = time.time(), 0
         for batch in data:
@@ -109,7 +110,13 @@ class MonoASRTrainer:
                 is_best = dev.get("cer", dev.get("wer", 1e9)) < best_metric
                 if is_best:
                     best_metric = dev.get("cer", dev.get("wer", 1e9))
+                    stale_evals = 0
+                else:
+                    stale_evals += 1
                 self.ckpt.save(step, state, dev, is_best=is_best)
+                if cfg.early_stop_patience and stale_evals >= cfg.early_stop_patience:
+                    self.logger.log(step, {"early_stop": 1.0})
+                    break
             elif step % cfg.ckpt_every == 0:
                 self.ckpt.save(step, state)
         self.ckpt.save(int(state.step), state)
@@ -131,6 +138,10 @@ class MonoASRTrainer:
                 params, batch["audio"], batch["audio_lens"])
             hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
+        # decoded text samples (SURVEY.md section 2.1 #19)
+        for s in range(min(self.cfg.train.log_text_samples, len(hyps))):
+            self.logger.log_text(0, f"sample_{s}",
+                                 f"hyp: {hyps[s]} | ref: {refs[s]}")
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
 

@@ -1,0 +1,44 @@
+"""CLI end-to-end: train a tiny FOMAML run, then adapt on the held-out
+accent — exercising main.py's full dispatch (SURVEY.md section 2.1 #1)."""
+
+import json
+import os
+
+import pytest
+
+from metaasr_tpu.cli import main
+
+
+@pytest.mark.slow
+def test_cli_train_then_adapt(synthetic_data_dir, tmp_path):
+    wd = str(tmp_path / "run")
+    common = [
+        "--data-dir", synthetic_data_dir,
+        "-o", "model.d_model=32", "-o", "model.num_heads=2",
+        "-o", "model.d_ff=64", "-o", "model.num_encoder_layers=2",
+        "-o", "model.num_decoder_layers=2", "-o", "model.dtype=float32",
+        "-o", "meta.tasks_per_batch=2", "-o", "meta.k_support=2",
+        "-o", "meta.k_query=2", "-o", "meta.inner_steps=2",
+        "-o", "meta.adapt_steps=2",
+        "-o", "data.max_frames=200", "-o", "data.max_tokens=16",
+        "-o", "data.heldout_accents=delta",
+        "-o", "frontend.use_pallas=false",
+        "-o", "train.eval_every=1000000", "-o", "train.ckpt_every=1000000",
+        "-o", "train.prng_impl=", "-o", "optimizer.schedule=constant",
+        "-o", "optimizer.lr=0.001",
+    ]
+    rc = main(["--mode", "train", "--algo", "fomaml", "--workdir", wd,
+               "--max-steps", "2"] + common)
+    assert rc == 0
+    assert os.path.exists(f"{wd}/config.yaml")
+
+    rc = main(["--config", f"{wd}/config.yaml", "--mode", "adapt",
+               "--workdir", wd, "--data-dir", synthetic_data_dir])
+    assert rc == 0
+    results = json.load(open(f"{wd}/adapt_results.json"))
+    assert "delta" in results and 0.0 <= results["delta"]["wer"] <= 2.0
+
+    rc = main(["--config", f"{wd}/config.yaml", "--mode", "test",
+               "--workdir", wd, "--data-dir", synthetic_data_dir])
+    assert rc == 0
+    assert os.path.exists(f"{wd}/test_results.json")

@@ -31,8 +31,10 @@ class FrontendConfig:
     dither: float = 0.0          # pinned to 0 for bit-comparable tests
     remove_dc_offset: bool = True
     window: str = "povey"
-    cmvn: str = "utterance"      # "utterance" | "none"
+    cmvn: str = "utterance"      # "utterance" | "global" | "none"
     cmvn_norm_var: bool = False
+    # for cmvn="global": stats json from scripts/prepare_data.py features
+    cmvn_stats_path: str = ""
     use_pallas: bool = True      # fused Pallas kernel vs pure-jax reference path
 
 

@@ -67,6 +67,17 @@ class ASRTask:
             remove_dc_offset=f.remove_dc_offset, low_freq=f.low_freq,
             high_freq=f.high_freq, sample_rate=f.sample_rate)
         self._ctc_loss = select_ctc_loss(cfg.model.ctc_impl)
+        self._global_cmvn = None
+        if f.cmvn == "global":
+            import json
+
+            import numpy as np
+
+            with open(f.cmvn_stats_path) as fh:
+                stats = json.load(fh)
+            self._global_cmvn = (
+                jnp.asarray(np.asarray(stats["mean"], np.float32)),
+                jnp.asarray(np.sqrt(np.asarray(stats["var"], np.float32) + 1e-10)))
 
     def require_full_autodiff(self):
         """Switch to the scan CTC backend. Second-order MAML differentiates
@@ -81,21 +92,19 @@ class ASRTask:
 
     def features(self, audio, audio_lens, rng=None, train: bool = False):
         f = self.cfg.frontend
-        if f.use_pallas:
-            from metaasr_tpu.frontend.pallas_fbank import pallas_log_mel_fbank
+        if f.cmvn == "global":
+            # corpus-level mean/var normalization (offline stats,
+            # SURVEY.md section 2.1 #16 'per-speaker global' variant)
+            feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
+                                               cmvn="none")
+            mean, std = self._global_cmvn
+            from metaasr_tpu.utils.padding import make_non_pad_mask
 
-            if train and f.dither and rng is not None:
-                audio = audio + f.dither * jax.random.normal(
-                    rng, audio.shape, jnp.float32)
-            feats, feat_lens = pallas_log_mel_fbank(
-                audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
-                cmvn_norm_var=f.cmvn_norm_var)
+            mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
+            feats = jnp.where(mask, (feats - mean) / std, 0.0)
         else:
-            feats, feat_lens = log_mel_fbank(
-                audio, audio_lens, self.fbank_params, cmvn=f.cmvn,
-                cmvn_norm_var=f.cmvn_norm_var,
-                dither=f.dither if train else 0.0,
-                rng=rng)
+            feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
+                                               cmvn=f.cmvn)
         if train and self.cfg.specaug.enabled and rng is not None:
             sa = self.cfg.specaug
             feats = spec_augment(
@@ -106,6 +115,23 @@ class ASRTask:
                 time_mask_width=sa.time_mask_width,
                 time_mask_max_ratio=sa.time_mask_max_ratio)
         return feats, feat_lens
+
+    def _raw_fbank(self, audio, audio_lens, rng, train, cmvn: str):
+        f = self.cfg.frontend
+        if f.use_pallas:
+            from metaasr_tpu.frontend.pallas_fbank import pallas_log_mel_fbank
+
+            if train and f.dither and rng is not None:
+                audio = audio + f.dither * jax.random.normal(
+                    rng, audio.shape, jnp.float32)
+            return pallas_log_mel_fbank(
+                audio, audio_lens, self.fbank_params, cmvn=cmvn,
+                cmvn_norm_var=f.cmvn_norm_var)
+        return log_mel_fbank(
+            audio, audio_lens, self.fbank_params, cmvn=cmvn,
+            cmvn_norm_var=f.cmvn_norm_var,
+            dither=f.dither if train else 0.0,
+            rng=rng)
 
     # ---------- init ----------
 

@@ -105,3 +105,31 @@ def test_spec_augment_deterministic_per_key(rng):
     c = spec_augment(jax.random.PRNGKey(8), feats, lens)
     assert np.array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_global_cmvn_task_path(rng, tmp_path):
+    """cmvn='global' normalizes with offline corpus stats."""
+    import json
+
+    import jax.numpy as jnp
+
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.train.task import ASRTask
+
+    mean = rng.standard_normal(80).astype(np.float64)
+    var = np.abs(rng.standard_normal(80)).astype(np.float64) + 0.5
+    p = tmp_path / "cmvn_stats.json"
+    p.write_text(json.dumps({"mean": mean.tolist(), "var": var.tolist()}))
+    cfg = Config()
+    cfg.model.vocab_size = 10
+    cfg.frontend.cmvn = "global"
+    cfg.frontend.cmvn_stats_path = str(p)
+    cfg.frontend.use_pallas = False
+    task = ASRTask(cfg)
+    x = _rand_audio(rng, 8000)
+    feats, flens = task.features(jnp.asarray(x)[None], jnp.array([8000]))
+    raw, _ = log_mel_fbank(jnp.asarray(x)[None], jnp.array([8000]), cmvn="none")
+    expect = (np.asarray(raw[0, : flens[0]]) - mean) / np.sqrt(var + 1e-10)
+    np.testing.assert_allclose(np.asarray(feats[0, : flens[0]]), expect,
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(feats[0, flens[0]:]) == 0.0)

@@ -296,7 +296,21 @@ def batched_beam_search(decoder_step_fn, init_caches,
         }
         return new_state, None
 
-    state, _ = jax.lax.scan(step_fn, state, jnp.arange(l_max))
+    # Early-exit loop: once every hypothesis in every batch row is
+    # finished, further steps are exact no-ops (finished beams only
+    # propose their frozen selves), so while_loop == scan numerically but
+    # skips the dead tail — decode steps scale with the LONGEST actual
+    # hypothesis, not max_len.
+    def cond(carry):
+        state, step_idx = carry
+        return (step_idx < l_max) & ~jnp.all(state["finished"])
+
+    def body(carry):
+        state, step_idx = carry
+        state, _ = step_fn(state, step_idx)
+        return state, step_idx + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
 
     # unfinished hypotheses: add their eos/complete score for comparability
     order = jnp.argsort(-state["score"], axis=1)

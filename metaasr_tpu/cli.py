@@ -21,25 +21,41 @@ from metaasr_tpu.data.dataset import load_accent_datasets
 from metaasr_tpu.data.tokenizer import CharTokenizer, PhoneTokenizer
 
 
-def build_tokenizer(cfg: Config, datasets=None):
-    if cfg.data.vocab == "phone":
-        return PhoneTokenizer.arpabet_default()
-    if cfg.data.vocab == "bpe":
-        from metaasr_tpu.data.bpe import BPETokenizer
-        from metaasr_tpu.data.dataset import Manifest, discover_accents
+def _corpus_texts(data_dir: str, field: str) -> list[str]:
+    from metaasr_tpu.data.dataset import Manifest, discover_accents
 
-        vocab_path = os.path.join(cfg.data.data_dir, "vocab_bpe.json")
+    texts = []
+    for accent in discover_accents(data_dir):
+        man = Manifest.load(os.path.join(data_dir, f"{accent}.jsonl"))
+        texts.extend(getattr(u, field) for u in man.utts)
+    return texts
+
+
+def build_tokenizer(cfg: Config, datasets=None):
+    """Vocabulary: loaded from data_dir/vocab_<type>.json when present,
+    otherwise built from the manifests (and cached there)."""
+    kind = cfg.data.vocab
+    if kind == "char":
+        return CharTokenizer.ascii_default()
+    vocab_path = os.path.join(cfg.data.data_dir, f"vocab_{kind}.json")
+    if kind == "phone":
         if os.path.exists(vocab_path):
-            return BPETokenizer.load(vocab_path)
-        texts = []
-        for accent in discover_accents(cfg.data.data_dir):
-            man = Manifest.load(os.path.join(cfg.data.data_dir,
-                                             f"{accent}.jsonl"))
-            texts.extend(u.text for u in man.utts)
-        tok = BPETokenizer.from_corpus(texts)
+            return PhoneTokenizer.load(vocab_path)
+        tok = PhoneTokenizer.from_corpus(_corpus_texts(cfg.data.data_dir,
+                                                       "phones"))
+        if len(tok.symbols) == 0:  # manifests carry no phone field
+            tok = PhoneTokenizer.arpabet_default()
         tok.save(vocab_path)
         return tok
-    return CharTokenizer.ascii_default()
+    if kind == "bpe":
+        from metaasr_tpu.data.bpe import BPETokenizer
+
+        if os.path.exists(vocab_path):
+            return BPETokenizer.load(vocab_path)
+        tok = BPETokenizer.from_corpus(_corpus_texts(cfg.data.data_dir, "text"))
+        tok.save(vocab_path)
+        return tok
+    raise ValueError(f"unknown vocab type {kind}")
 
 
 def _parse_override(kv: str):

@@ -134,10 +134,10 @@ class VGGBLSTMCTC(nn.Module):
         feats = jnp.where(
             make_non_pad_mask(feat_lens, feats.shape[1])[..., None], feats, 0.0)
         x = VGGExtractor(self.vgg_channels, dtype=self.dtype)(feats)
-        out_lens = vgg_subsampled_lengths(feat_lens)
+        out_lens = vgg_subsampled_lengths(feat_lens, len(self.vgg_channels))
         x = BLSTM(self.blstm_hidden, self.blstm_layers, dtype=self.dtype)(x, out_lens)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="ctc_head")(x)
         return logits, out_lens
 
     def output_lengths(self, feat_lens: jax.Array) -> jax.Array:
-        return vgg_subsampled_lengths(feat_lens)
+        return vgg_subsampled_lengths(feat_lens, len(self.vgg_channels))

@@ -40,13 +40,11 @@ def subsampled_lengths(lengths: jax.Array, factor: int = 4) -> jax.Array:
     return jnp.maximum(out, 1)
 
 
-def vgg_subsampled_lengths(lengths: jax.Array) -> jax.Array:
-    """Length bookkeeping through the VGG extractor (2x maxpool-2 => /4).
-
-    VALID 2x2 max-pool with stride 2: L -> floor(L/2), applied twice.
-    """
+def vgg_subsampled_lengths(lengths: jax.Array, num_blocks: int = 2) -> jax.Array:
+    """Length bookkeeping through the VGG extractor: each block ends in a
+    VALID 2x2 max-pool with stride 2 (L -> floor(L/2))."""
     out = lengths.astype(jnp.int32)
-    for _ in range(2):
+    for _ in range(num_blocks):
         out = out // 2
     return jnp.maximum(out, 1)
 

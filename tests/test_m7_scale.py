@@ -56,3 +56,40 @@ def test_sharded_asr_meta_step_runs():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_meta_trainer_with_mesh(synthetic_data_dir, tmp_path):
+    """MetaASRTrainer end-to-end on a real (4,2) mesh: task-sharded meta
+    batches, replicated state, 2 optimizer steps."""
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.parallel.mesh import make_mesh
+    from metaasr_tpu.train.meta_train import MetaASRTrainer
+    from metaasr_tpu.train.task import ASRTask
+
+    tok = CharTokenizer.ascii_default()
+    cfg = Config()
+    cfg.model.arch = "transformer"
+    cfg.model.vocab_size = tok.vocab_size
+    cfg.model.d_model = 32
+    cfg.model.num_heads = 2
+    cfg.model.d_ff = 64
+    cfg.model.num_encoder_layers = 2
+    cfg.model.num_decoder_layers = 2
+    cfg.model.dtype = "float32"
+    cfg.meta.tasks_per_batch = 4
+    cfg.meta.k_support = 2
+    cfg.meta.k_query = 2
+    cfg.meta.inner_steps = 2
+    cfg.data.max_frames = 100
+    cfg.data.max_tokens = 16
+    cfg.frontend.use_pallas = False
+    cfg.train.log_every = 10**9
+    cfg.train.eval_every = 10**9
+    cfg.train.ckpt_every = 10**9
+    dsets = load_accent_datasets(synthetic_data_dir, tok)
+    mesh = make_mesh(num_task=4)
+    trainer = MetaASRTrainer(cfg, ASRTask(cfg, tok.sos_eos_id), dsets, {},
+                             tok, str(tmp_path), mesh=mesh)
+    state = trainer.meta_train(max_steps=2)
+    assert int(state.step) == 2

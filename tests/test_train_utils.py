@@ -1,0 +1,58 @@
+"""Optimizer schedule, checkpoint best/latest, logger."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaasr_tpu.config import OptimizerConfig
+from metaasr_tpu.train.checkpoint import CheckpointManager
+from metaasr_tpu.train.logging import MetricLogger
+from metaasr_tpu.train.optimizer import make_optimizer, noam_schedule
+
+
+def test_noam_schedule_shape():
+    sched = noam_schedule(1.0, d_model=256, warmup_steps=100)
+    lrs = [float(sched(s)) for s in [0, 50, 99, 100, 400, 10000]]
+    # rises during warmup
+    assert lrs[0] < lrs[1] < lrs[2]
+    # decays after warmup
+    assert lrs[3] > lrs[4] > lrs[5]
+    # peak approx at warmup boundary: d^-0.5 * warmup^-0.5
+    np.testing.assert_allclose(lrs[3], 256 ** -0.5 * 100 ** -0.5, rtol=0.05)
+
+
+def test_make_optimizer_variants():
+    import optax
+
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.full(3, 0.1)}
+    for name, sched in [("adam", "noam"), ("adam", "constant"),
+                        ("adadelta", "constant"), ("sgd", "constant")]:
+        opt = make_optimizer(OptimizerConfig(name=name, schedule=sched, lr=0.1))
+        state = opt.init(params)
+        updates, state = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(new["w"])))
+
+
+def test_checkpoint_best_and_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    state = {"w": jnp.zeros(4), "step": jnp.asarray(0)}
+    mgr.save(1, {"w": jnp.ones(4), "step": jnp.asarray(1)}, is_best=True)
+    mgr.save(2, {"w": jnp.full(4, 2.0), "step": jnp.asarray(2)}, is_best=False)
+    mgr.wait()
+    latest, step = mgr.restore(state)
+    assert step == 2 and float(latest["w"][0]) == 2.0
+    best = mgr.restore_best(state)
+    assert best is not None and float(best["w"][0]) == 1.0
+    mgr.close()
+
+
+def test_metric_logger_jsonl(tmp_path):
+    lg = MetricLogger(str(tmp_path))
+    lg.log(1, {"loss": 1.5})
+    lg.log_text(1, "sample", "hyp vs ref")
+    lg.close()
+    lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    assert lines[0]["loss"] == 1.5 and lines[1]["tag"] == "sample"

@@ -63,6 +63,28 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def average_checkpoints(mgr: "CheckpointManager", state_template: Any,
+                        steps: list[int] | None = None,
+                        last_n: int = 0) -> Any:
+    """Parameter averaging over saved checkpoints (ESPnet-style model
+    averaging: decode-time WER booster). Averages the ``params`` field of
+    the train state over the given steps (or the last N available)."""
+    mgr.wait()
+    avail = sorted(mgr._mgr.all_steps())
+    if steps is None:
+        steps = avail[-last_n:] if last_n else avail
+    assert steps, "no checkpoints to average"
+    acc = None
+    for s in steps:
+        state = mgr._mgr.restore(s, args=ocp.args.StandardRestore(state_template))
+        p = jax.tree_util.tree_map(lambda x: np.asarray(x, dtype=np.float64),
+                                   state.params)
+        acc = p if acc is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, acc, p)
+    n = float(len(steps))
+    return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Flat .npz export (host-side interchange, e.g. for bench scripts)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -56,3 +56,25 @@ def test_metric_logger_jsonl(tmp_path):
     lg.close()
     lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
     assert lines[0]["loss"] == 1.5 and lines[1]["tag"] == "sample"
+
+
+def test_average_checkpoints(tmp_path):
+    from flax import struct
+
+    from metaasr_tpu.train.checkpoint import average_checkpoints
+
+    @struct.dataclass
+    class S:
+        params: dict
+        step: int
+
+    mgr = CheckpointManager(str(tmp_path / "avg"), keep=5)
+    for i, v in enumerate([1.0, 2.0, 6.0]):
+        mgr.save(i + 1, S(params={"w": jnp.full(3, v)}, step=i + 1))
+    mgr.wait()
+    tmpl = S(params={"w": jnp.zeros(3)}, step=0)
+    avg = average_checkpoints(mgr, tmpl)
+    np.testing.assert_allclose(np.asarray(avg["w"]), 3.0)
+    avg2 = average_checkpoints(mgr, tmpl, last_n=2)
+    np.testing.assert_allclose(np.asarray(avg2["w"]), 4.0)
+    mgr.close()

@@ -129,22 +129,36 @@ def _ctc_pallas(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
     return nll
 
 
+BATCH_BLOCK = 8  # fp32 sublane size — middle block dim must be 8-divisible
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fits_vmem(t_len: int, s_pad: int) -> bool:
+    """3 copies of [T, 8, S_pad] fp32 (logp block, alpha scratch, grad
+    block) must fit the VMEM budget."""
+    return 3 * t_len * BATCH_BLOCK * s_pad * 4 <= VMEM_BUDGET
+
+
 def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
     """logp_z [B, T, S_pad] -> (nll [B], grad [B, T, S_pad])."""
     lens = lens_f.astype(jnp.int32)
     end = end_f.astype(jnp.int32)
     bsz, t_dim, s_pad = logp_z.shape
     assert t_dim == t_len
-    # batch block: 3 copies of [T, BB, S_pad] fp32 under ~12 MB
-    budget = 12 * 1024 * 1024
-    bb = max(1, min(8, budget // (3 * t_len * s_pad * 4)))
-    while bsz % bb:
-        bb -= 1
+    bb = BATCH_BLOCK
     lp_t = jnp.moveaxis(logp_z, 1, 0)                        # [T, B, S_pad]
+    b_pad = _round_up(bsz, bb)
+    if b_pad != bsz:
+        # padded rows: lens=0 (alpha frozen), outputs sliced away below
+        lp_t = jnp.pad(lp_t, ((0, 0), (0, b_pad - bsz), (0, 0)),
+                       constant_values=LOG_EPS)
+        skip_bias = jnp.pad(skip_bias, ((0, b_pad - bsz), (0, 0)))
+        lens = jnp.pad(lens, ((0, b_pad - bsz), (0, 0)))
+        end = jnp.pad(end, ((0, b_pad - bsz), (0, 0)))
 
     nll, grad = pl.pallas_call(
         functools.partial(_ctc_kernel, t_len=t_len, s_pad=s_pad, bb=bb),
-        grid=(bsz // bb,),
+        grid=(b_pad // bb,),
         in_specs=[
             pl.BlockSpec((t_len, bb, s_pad), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -159,18 +173,18 @@ def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, bsz, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b_pad, s_pad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((t_len, bb, s_pad), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=10 * bsz * t_len * s_pad,
-            bytes_accessed=2 * bsz * t_len * s_pad * 4,
-            transcendentals=6 * bsz * t_len * s_pad,
+            flops=10 * b_pad * t_len * s_pad,
+            bytes_accessed=2 * b_pad * t_len * s_pad * 4,
+            transcendentals=6 * b_pad * t_len * s_pad,
         ),
     )(lp_t, skip_bias, lens, end)
-    return nll[:, 0], jnp.moveaxis(grad, 0, 1)
+    return nll[:bsz, 0], jnp.moveaxis(grad[:, :bsz], 0, 1)
 
 
 def _ctc_fwd(logp_z, skip_bias, lens_f, end_f, t_len, interpret):
@@ -200,6 +214,12 @@ def ctc_forward_pallas(log_probs: jax.Array, logit_lens: jax.Array,
     z = extend_labels(labels, blank)                          # [B, S]
     s_len = z.shape[1]
     s_pad = _round_up(max(s_len, LANE), LANE)
+    if not fits_vmem(t_len, s_pad):
+        # very long T x wide S: the on-chip alpha scratch would exceed
+        # VMEM; fall back to the scan backend (same numerics)
+        from metaasr_tpu.ops.ctc import ctc_forward
+
+        return ctc_forward(log_probs, logit_lens, labels, label_lens, blank)
     zp = jnp.pad(z, ((0, 0), (0, s_pad - s_len)), constant_values=blank)
 
     lp32 = log_probs.astype(jnp.float32)

@@ -119,6 +119,9 @@ def main(argv=None):
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
                    help="dotted config override key=value")
+    p.add_argument("--avg-last", type=int, default=0,
+                   help="adapt/test: average the last N checkpoints "
+                        "(ESPnet-style model averaging)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md section 5.2)")
     p.add_argument("--profile", type=str, default=None,
@@ -174,9 +177,15 @@ def main(argv=None):
 
     # adapt/test need a checkpoint
     state = trainer.init_state()
+    template = state
     state, step = trainer.ckpt.restore(state)
     if step < 0:
         raise SystemExit(f"no checkpoint found under {args.workdir}/ckpts")
+    if args.avg_last:
+        from metaasr_tpu.train.checkpoint import average_checkpoints
+
+        state = state.replace(params=average_checkpoints(
+            trainer.ckpt, template, last_n=args.avg_last))
     results = {}
     if args.mode == "adapt":
         for name, ds in trainer.heldout_datasets.items():

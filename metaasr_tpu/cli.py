@@ -93,6 +93,13 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
     task = ASRTask(cfg, tok.sos_eos_id)
     algo = cfg.meta.algo
     dev = next(iter(heldout.values())) if heldout else None
+    if cfg.data.dev_fraction > 0 and algo in ("no", "multi"):
+        # per-accent train/dev partition; dev pools across accents
+        devs = {}
+        for name in list(dsets):
+            dsets[name], devs[name] = dsets[name].split(
+                cfg.data.dev_fraction, seed=cfg.data.seed)
+        dev = next(iter(devs.values())) if devs else dev
     if algo == "no":
         train_sets = [dsets[a] for a in (cfg.data.accents or sorted(dsets))][:1]
         return MonoASRTrainer(cfg, task, train_sets, dev, tok, workdir), tok

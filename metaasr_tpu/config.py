@@ -108,9 +108,12 @@ class DataConfig:
     max_tokens: int = 128
     frame_buckets: tuple = (256, 512, 1024, 1600)
     token_buckets: tuple = (32, 64, 128)
-    vocab: str = "char"            # "char" | "phone"
+    vocab: str = "char"            # "char" | "phone" | "bpe"
     num_workers: int = 0
     seed: int = 0
+    # per-accent dev split for training accents (0 = use held-out accents
+    # as dev, as in the meta setting)
+    dev_fraction: float = 0.0
 
 
 @dataclass

@@ -75,6 +75,24 @@ class AccentDataset:
         self.vocab = vocab
         self.sample_rate = sample_rate
 
+    def split(self, dev_fraction: float, seed: int = 0):
+        """Deterministic train/dev partition of this accent's utterances
+        (the reference holds out a per-accent dev set; SURVEY.md section
+        2.1 #3 'early stop on dev'). Returns (train_ds, dev_ds)."""
+        import numpy as np
+
+        n = len(self.manifest.utts)
+        n_dev = max(1, int(n * dev_fraction)) if dev_fraction > 0 else 0
+        order = np.random.default_rng((seed, hash(self.accent) % (2**31))
+                                      ).permutation(n)
+        dev_idx = set(int(i) for i in order[:n_dev])
+        tr = [u for i, u in enumerate(self.manifest.utts) if i not in dev_idx]
+        dv = [u for i, u in enumerate(self.manifest.utts) if i in dev_idx]
+        mk = lambda utts: AccentDataset(  # noqa: E731
+            Manifest(accent=self.accent, root=self.manifest.root, utts=utts),
+            self.tokenizer, vocab=self.vocab, sample_rate=self.sample_rate)
+        return mk(tr), mk(dv)
+
     @property
     def accent(self) -> str:
         return self.manifest.accent

@@ -147,3 +147,17 @@ def test_bpe_tokenizer(tmp_path):
     # deterministic training
     tok3 = BPETokenizer.from_corpus(corpus, num_merges=30)
     assert tok.symbols == tok3.symbols and tok.merges == tok3.merges
+
+
+def test_accent_dataset_split(synthetic_data_dir):
+    tok = CharTokenizer.ascii_default()
+    ds = load_accent_datasets(synthetic_data_dir, tok)["alpha"]
+    tr, dv = ds.split(0.25, seed=1)
+    assert len(tr) + len(dv) == len(ds)
+    assert len(dv) == max(1, int(len(ds) * 0.25))
+    ids_tr = {u.utt_id for u in tr.manifest.utts}
+    ids_dv = {u.utt_id for u in dv.manifest.utts}
+    assert ids_tr.isdisjoint(ids_dv)
+    # deterministic
+    tr2, dv2 = ds.split(0.25, seed=1)
+    assert {u.utt_id for u in dv2.manifest.utts} == ids_dv

@@ -78,10 +78,15 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
 
     tok = build_tokenizer(cfg)
     cfg.model.vocab_size = tok.vocab_size
+    spk_path = ""
+    if cfg.frontend.cmvn == "speaker":
+        spk_path = (cfg.frontend.cmvn_stats_path
+                    or os.path.join(cfg.data.data_dir, "speaker_cmvn.json"))
     dsets = load_accent_datasets(cfg.data.data_dir, tok,
                                  accents=cfg.data.accents,
                                  vocab=cfg.data.vocab,
-                                 sample_rate=cfg.frontend.sample_rate)
+                                 sample_rate=cfg.frontend.sample_rate,
+                                 speaker_cmvn_path=spk_path)
     heldout = {}
     for name in cfg.data.heldout_accents:
         if name in dsets:
@@ -89,7 +94,8 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
         else:
             heldout[name] = load_accent_datasets(
                 cfg.data.data_dir, tok, accents=(name,), vocab=cfg.data.vocab,
-                sample_rate=cfg.frontend.sample_rate)[name]
+                sample_rate=cfg.frontend.sample_rate,
+                speaker_cmvn_path=spk_path)[name]
     task = ASRTask(cfg, tok.sos_eos_id)
     algo = cfg.meta.algo
     dev = next(iter(heldout.values())) if heldout else None

@@ -33,6 +33,7 @@ class Utterance:
     num_samples: int
     wav: str | None = None
     feats: str | None = None
+    speaker: str = ""
 
 
 @dataclass
@@ -60,6 +61,7 @@ class Manifest:
                         num_samples=int(d["num_samples"]),
                         wav=d.get("wav"),
                         feats=d.get("feats"),
+                        speaker=d.get("speaker", ""),
                     )
                 )
         return cls(accent=name, root=root, utts=utts)
@@ -69,28 +71,34 @@ class AccentDataset:
     """Random-access utterances of one accent: audio + transcript tokens."""
 
     def __init__(self, manifest: Manifest, tokenizer, vocab: str = "char",
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, speaker_cmvn: dict | None = None):
         self.manifest = manifest
         self.tokenizer = tokenizer
         self.vocab = vocab
         self.sample_rate = sample_rate
+        # {speaker: {"mean": [...80], "var": [...80]}} (speaker-level CMVN,
+        # SURVEY.md section 2.1 #16); falls back to the speaker "" entry
+        # or utterance stats downstream when a speaker is missing
+        self.speaker_cmvn = speaker_cmvn
 
     def split(self, dev_fraction: float, seed: int = 0):
         """Deterministic train/dev partition of this accent's utterances
         (the reference holds out a per-accent dev set; SURVEY.md section
         2.1 #3 'early stop on dev'). Returns (train_ds, dev_ds)."""
-        import numpy as np
+        import zlib
 
         n = len(self.manifest.utts)
         n_dev = max(1, int(n * dev_fraction)) if dev_fraction > 0 else 0
-        order = np.random.default_rng((seed, hash(self.accent) % (2**31))
-                                      ).permutation(n)
+        # zlib.crc32: stable across processes (python hash() is salted)
+        order = np.random.default_rng(
+            (seed, zlib.crc32(self.accent.encode()))).permutation(n)
         dev_idx = set(int(i) for i in order[:n_dev])
         tr = [u for i, u in enumerate(self.manifest.utts) if i not in dev_idx]
         dv = [u for i, u in enumerate(self.manifest.utts) if i in dev_idx]
         mk = lambda utts: AccentDataset(  # noqa: E731
             Manifest(accent=self.accent, root=self.manifest.root, utts=utts),
-            self.tokenizer, vocab=self.vocab, sample_rate=self.sample_rate)
+            self.tokenizer, vocab=self.vocab, sample_rate=self.sample_rate,
+            speaker_cmvn=self.speaker_cmvn)
         return mk(tr), mk(dv)
 
     @property
@@ -109,11 +117,19 @@ class AccentDataset:
         tokens = self.tokenizer.encode(self.transcript(i))
         if u.wav is not None:
             audio = load_wav(os.path.join(self.manifest.root, u.wav), self.sample_rate)
-            return {"utt_id": u.utt_id, "audio": audio, "tokens": tokens,
+            item = {"utt_id": u.utt_id, "audio": audio, "tokens": tokens,
                     "text": self.transcript(i)}
-        feats = np.load(os.path.join(self.manifest.root, u.feats))
-        return {"utt_id": u.utt_id, "feats": feats.astype(np.float32),
-                "tokens": tokens, "text": self.transcript(i)}
+        else:
+            feats = np.load(os.path.join(self.manifest.root, u.feats))
+            item = {"utt_id": u.utt_id, "feats": feats.astype(np.float32),
+                    "tokens": tokens, "text": self.transcript(i)}
+        if self.speaker_cmvn is not None:
+            st = self.speaker_cmvn.get(u.speaker) or self.speaker_cmvn.get("")
+            if st is not None:
+                item["cmvn_mean"] = np.asarray(st["mean"], np.float32)
+                item["cmvn_std"] = np.sqrt(
+                    np.asarray(st["var"], np.float32) + 1e-10)
+        return item
 
 
 def discover_accents(data_dir: str) -> list[str]:
@@ -126,12 +142,18 @@ def discover_accents(data_dir: str) -> list[str]:
 
 
 def load_accent_datasets(data_dir: str, tokenizer, accents=(), vocab="char",
-                         sample_rate=16000) -> dict[str, AccentDataset]:
+                         sample_rate=16000,
+                         speaker_cmvn_path: str = "") -> dict[str, AccentDataset]:
     names = list(accents) or discover_accents(data_dir)
+    speaker_cmvn = None
+    if speaker_cmvn_path:
+        with open(speaker_cmvn_path) as f:
+            speaker_cmvn = json.load(f)
     return {
         name: AccentDataset(
             Manifest.load(os.path.join(data_dir, f"{name}.jsonl"), accent=name),
             tokenizer, vocab=vocab, sample_rate=sample_rate,
+            speaker_cmvn=speaker_cmvn,
         )
         for name in names
     }

@@ -47,13 +47,17 @@ def collate(items: list[dict], num_samples: int, num_tokens: int) -> dict:
         tokens[i, : len(t)] = t
         token_lens[i] = len(t)
         texts.append(it["text"])
-    return {
+    out = {
         "audio": audio,
         "audio_lens": audio_lens,
         "tokens": tokens,
         "token_lens": token_lens,
         "texts": texts,
     }
+    if items and "cmvn_mean" in items[0]:  # speaker-level CMVN vectors
+        out["cmvn_mean"] = np.stack([it["cmvn_mean"] for it in items])
+        out["cmvn_std"] = np.stack([it["cmvn_std"] for it in items])
+    return out
 
 
 class BucketBatcher:
@@ -187,7 +191,9 @@ def support_query_split(ds, k_support: int, num_samples: int, num_tokens: int,
 
 def _stack_batches(batches: list[dict]) -> dict:
     out = {}
-    for k in ("audio", "audio_lens", "tokens", "token_lens"):
-        out[k] = np.stack([b[k] for b in batches])
-    out["texts"] = [b["texts"] for b in batches]
+    for k in batches[0]:
+        if k == "texts":
+            out[k] = [b[k] for b in batches]
+        else:
+            out[k] = np.stack([b[k] for b in batches])
     return out

@@ -103,6 +103,7 @@ def generate_dataset(data_dir: str, accents=ACCENTS, utts_per_accent: int = 64,
                 "text": text,
                 "phones": " ".join(c.upper() for c in text if c != " "),
                 "num_samples": len(wav),
+                "speaker": f"spk_{accent}",
             }))
         with open(os.path.join(data_dir, f"{accent}.jsonl"), "w") as f:
             f.write("\n".join(lines) + "\n")

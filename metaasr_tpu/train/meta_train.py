@@ -217,7 +217,8 @@ class MetaASRTrainer:
                 hyps.extend(self._beam_decode_batch(params, batch))
             else:
                 packed, out_lens = self.task.greedy_ctc(
-                    params, batch["audio"], batch["audio_lens"])
+                    params, batch["audio"], batch["audio_lens"],
+                    batch.get("cmvn_mean"), batch.get("cmvn_std"))
                 hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
@@ -236,7 +237,8 @@ class MetaASRTrainer:
                                ctc_weight=t.decode_ctc_weight,
                                length_penalty=t.length_penalty)
         feats, feat_lens = self.task.features(
-            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]))
+            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]),
+            cmvn_mean=batch.get("cmvn_mean"), cmvn_std=batch.get("cmvn_std"))
         out = self._jit_beam(cfg)(params, feats, feat_lens)
         toks = np.asarray(out["tokens"])
         lens = np.asarray(out["lengths"])

@@ -135,7 +135,8 @@ class MonoASRTrainer:
             umax = max(1, max(len(it["tokens"]) for it in items))
             batch = collate(items, smax, umax)
             packed, out_lens = self.task.greedy_ctc(
-                params, batch["audio"], batch["audio_lens"])
+                params, batch["audio"], batch["audio_lens"],
+                batch.get("cmvn_mean"), batch.get("cmvn_std"))
             hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
         # decoded text samples (SURVEY.md section 2.1 #19)
@@ -166,7 +167,9 @@ def quick_eval_cer(task: ASRTask, params, dataset, tokenizer,
         smax = max(1, max(len(it["audio"]) for it in items))
         batch = collate(items, smax, 8)
         packed, out_lens = task.greedy_ctc(params, batch["audio"],
-                                           batch["audio_lens"])
+                                           batch["audio_lens"],
+                                           batch.get("cmvn_mean"),
+                                           batch.get("cmvn_std"))
         hyps.extend(greedy_to_texts(packed, out_lens, tokenizer))
         refs.extend(batch["texts"])
     return compute_cer(hyps, refs)

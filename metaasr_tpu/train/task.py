@@ -90,9 +90,21 @@ class ASRTask:
 
     # ---------- features ----------
 
-    def features(self, audio, audio_lens, rng=None, train: bool = False):
+    def features(self, audio, audio_lens, rng=None, train: bool = False,
+                 cmvn_mean=None, cmvn_std=None):
         f = self.cfg.frontend
-        if f.cmvn == "global":
+        if f.cmvn == "speaker" and cmvn_mean is not None:
+            # speaker-level stats (SURVEY.md section 2.1 #16): per-utterance
+            # normalization vectors computed offline per speaker
+            feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
+                                               cmvn="none")
+            from metaasr_tpu.utils.padding import make_non_pad_mask
+
+            mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
+            feats = jnp.where(
+                mask, (feats - cmvn_mean[:, None, :]) / cmvn_std[:, None, :],
+                0.0)
+        elif f.cmvn == "global":
             # corpus-level mean/var normalization (offline stats,
             # SURVEY.md section 2.1 #16 'per-speaker global' variant)
             feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
@@ -103,8 +115,10 @@ class ASRTask:
             mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
             feats = jnp.where(mask, (feats - mean) / std, 0.0)
         else:
+            # "speaker" without stats falls back to utterance CMVN
+            cm = "utterance" if f.cmvn == "speaker" else f.cmvn
             feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
-                                               cmvn=f.cmvn)
+                                               cmvn=cm)
         if train and self.cfg.specaug.enabled and rng is not None:
             sa = self.cfg.specaug
             feats = spec_augment(
@@ -155,7 +169,9 @@ class ASRTask:
         loop (maml.make_meta_loss preprocess_fn) — the reference applies
         its front-end at load time (SURVEY.md section 3.1)."""
         feats, feat_lens = self.features(batch["audio"], batch["audio_lens"],
-                                         rng, train)
+                                         rng, train,
+                                         cmvn_mean=batch.get("cmvn_mean"),
+                                         cmvn_std=batch.get("cmvn_std"))
         return {"feats": feats, "feat_lens": feat_lens,
                 "tokens": batch["tokens"], "token_lens": batch["token_lens"]}
 
@@ -170,7 +186,9 @@ class ASRTask:
             feats, feat_lens = batch["feats"], batch["feat_lens"]
         else:
             feats, feat_lens = self.features(batch["audio"],
-                                             batch["audio_lens"], f_rng, train)
+                                             batch["audio_lens"], f_rng, train,
+                                             cmvn_mean=batch.get("cmvn_mean"),
+                                             cmvn_std=batch.get("cmvn_std"))
         rngs = {"dropout": d_rng} if train else None
         if self.arch == "vgg_blstm":
             logits, out_lens = self.model.apply(
@@ -194,10 +212,13 @@ class ASRTask:
     # ---------- decode (greedy CTC; beam search lives in decode/) ----------
 
     @partial(jax.jit, static_argnums=0)
-    def greedy_ctc(self, params, audio, audio_lens):
+    def greedy_ctc(self, params, audio, audio_lens, cmvn_mean=None,
+                   cmvn_std=None):
         from metaasr_tpu.decode.greedy import ctc_greedy_decode
 
-        feats, feat_lens = self.features(audio, audio_lens)
+        feats, feat_lens = self.features(audio, audio_lens,
+                                         cmvn_mean=cmvn_mean,
+                                         cmvn_std=cmvn_std)
         if self.arch == "vgg_blstm":
             logits, out_lens = self.model.apply({"params": params}, feats,
                                                 feat_lens, False)

@@ -132,6 +132,40 @@ def cmd_features(args):
     print("global CMVN stats written")
 
 
+def cmd_speaker_cmvn(args):
+    """Per-speaker fbank mean/var stats -> speaker_cmvn.json
+    (SURVEY.md section 2.1 #16 per-speaker CMVN)."""
+    import jax.numpy as jnp
+
+    from metaasr_tpu.data.dataset import Manifest, discover_accents
+    from metaasr_tpu.data.audio_io import load_wav
+    from metaasr_tpu.frontend.fbank import log_mel_fbank
+
+    acc = {}
+    for accent in discover_accents(args.data_dir):
+        man = Manifest.load(os.path.join(args.data_dir, f"{accent}.jsonl"))
+        for u in man.utts:
+            audio = load_wav(os.path.join(man.root, u.wav), args.sample_rate)
+            feats, flens = log_mel_fbank(
+                jnp.asarray(audio)[None], jnp.asarray([len(audio)]),
+                cmvn="none")
+            arr = np.asarray(feats[0, : int(flens[0])], dtype=np.float64)
+            st = acc.setdefault(u.speaker, [np.zeros(80), np.zeros(80), 0])
+            st[0] += arr.sum(0)
+            st[1] += (arr ** 2).sum(0)
+            st[2] += arr.shape[0]
+    out = {}
+    for spk, (s1, s2, n) in acc.items():
+        mean = s1 / max(n, 1)
+        out[spk] = {"mean": mean.tolist(),
+                    "var": (s2 / max(n, 1) - mean ** 2).tolist(),
+                    "frames": int(n)}
+    path = os.path.join(args.data_dir, "speaker_cmvn.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+    print(f"{path}: {len(out)} speakers")
+
+
 def cmd_vocab(args):
     from metaasr_tpu.data.bpe import BPETokenizer
     from metaasr_tpu.data.dataset import Manifest, discover_accents
@@ -179,6 +213,11 @@ def main():
     s.add_argument("--data-dir", required=True)
     s.add_argument("--sample-rate", type=int, default=16000)
     s.set_defaults(fn=cmd_features)
+
+    s = sub.add_parser("speaker-cmvn")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--sample-rate", type=int, default=16000)
+    s.set_defaults(fn=cmd_speaker_cmvn)
 
     s = sub.add_parser("vocab")
     s.add_argument("--data-dir", required=True)

@@ -133,3 +133,50 @@ def test_global_cmvn_task_path(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(feats[0, : flens[0]]), expect,
                                rtol=1e-4, atol=1e-4)
     assert np.all(np.asarray(feats[0, flens[0]:]) == 0.0)
+
+
+def test_speaker_cmvn_pipeline(rng, synthetic_data_dir, tmp_path):
+    """speaker-level CMVN: offline stats -> per-utterance vectors -> task
+    normalization (SURVEY.md section 2.1 #16)."""
+    import json
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "scripts")
+    import types
+
+    from prepare_data import cmd_speaker_cmvn
+
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.data.dataset import load_accent_datasets
+    from metaasr_tpu.data.tokenizer import CharTokenizer
+    from metaasr_tpu.train.task import ASRTask
+
+    args = types.SimpleNamespace(data_dir=synthetic_data_dir, sample_rate=16000)
+    cmd_speaker_cmvn(args)
+    stats = json.load(open(f"{synthetic_data_dir}/speaker_cmvn.json"))
+    assert "spk_alpha" in stats and len(stats["spk_alpha"]["mean"]) == 80
+
+    tok = CharTokenizer.ascii_default()
+    dsets = load_accent_datasets(
+        synthetic_data_dir, tok,
+        speaker_cmvn_path=f"{synthetic_data_dir}/speaker_cmvn.json")
+    item = dsets["alpha"][0]
+    assert item["cmvn_mean"].shape == (80,) and item["cmvn_std"].shape == (80,)
+
+    cfg = Config()
+    cfg.model.vocab_size = tok.vocab_size
+    cfg.frontend.cmvn = "speaker"
+    cfg.frontend.use_pallas = False
+    task = ASRTask(cfg, tok.sos_eos_id)
+    audio = jnp.asarray(item["audio"])[None]
+    lens = jnp.asarray([len(item["audio"])])
+    feats, flens = task.features(audio, lens,
+                                 cmvn_mean=jnp.asarray(item["cmvn_mean"])[None],
+                                 cmvn_std=jnp.asarray(item["cmvn_std"])[None])
+    raw, _ = log_mel_fbank(audio, lens, cmvn="none")
+    expect = ((np.asarray(raw[0, : flens[0]]) - item["cmvn_mean"])
+              / item["cmvn_std"])
+    np.testing.assert_allclose(np.asarray(feats[0, : flens[0]]), expect,
+                               rtol=1e-4, atol=1e-4)

@@ -31,7 +31,7 @@ def _corpus_texts(data_dir: str, field: str) -> list[str]:
     return texts
 
 
-def build_tokenizer(cfg: Config, datasets=None):
+def build_tokenizer(cfg: Config):
     """Vocabulary: loaded from data_dir/vocab_<type>.json when present,
     otherwise built from the manifests (and cached there)."""
     kind = cfg.data.vocab

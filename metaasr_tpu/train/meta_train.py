@@ -75,16 +75,13 @@ class MetaASRTrainer:
             tasks_per_batch=m.tasks_per_batch,
             num_samples=self._num_samples_cap(), num_tokens=d.max_tokens,
             seed=d.seed)
-        self._grad_fn = maml_grads(self._vmapped_loss_fn(), algo_config(cfg),
+        self._grad_fn = maml_grads(self.task.loss_fn, algo_config(cfg),
                                    preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
 
     def _num_samples_cap(self) -> int:
         # max_frames is a feature-frame cap; convert to raw samples
         return self.cfg.data.max_frames * 160 + 240
-
-    def _vmapped_loss_fn(self):
-        return self.task.loss_fn
 
     def _build_step(self):
         def step(state: MetaTrainState, meta_batch: dict):

@@ -26,6 +26,7 @@ from metaasr_tpu.models.transformer import TransformerASR
 from metaasr_tpu.models.vgg_blstm import VGGBLSTMCTC
 from metaasr_tpu.ops.ctc import ctc_loss
 from metaasr_tpu.ops.ctc_pallas import ctc_loss_pallas
+from metaasr_tpu.utils.padding import make_non_pad_mask
 
 
 def select_ctc_loss(impl: str):
@@ -98,8 +99,6 @@ class ASRTask:
             # normalization vectors computed offline per speaker
             feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
                                                cmvn="none")
-            from metaasr_tpu.utils.padding import make_non_pad_mask
-
             mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
             feats = jnp.where(
                 mask, (feats - cmvn_mean[:, None, :]) / cmvn_std[:, None, :],
@@ -110,8 +109,6 @@ class ASRTask:
             feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
                                                cmvn="none")
             mean, std = self._global_cmvn
-            from metaasr_tpu.utils.padding import make_non_pad_mask
-
             mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
             feats = jnp.where(mask, (feats - mean) / std, 0.0)
         else:

@@ -179,14 +179,12 @@ def _host_beam_search(model, params, feats, lens, cfg: BeamSearchConfig):
                 for c in range(1, VOCAB):
                     ctc_part = gamma if c == EOS else psi[c]
                     att_new = h["att"] + att_logp[c]
-                    ln = len(h["toks"]) + (0 if c == EOS else 1)
                     score = ((1 - cfg.ctc_weight) * att_new
                              + cfg.ctc_weight * ctc_part
                              + cfg.length_penalty * (len(h["toks"]) + 1))
                     cand.append({"toks": h["toks"] + ([c] if c != EOS else []),
                                  "att": att_new, "score": score,
                                  "finished": c == EOS})
-                    del ln
             cand.sort(key=lambda x: -x["score"])
             hyps = cand[: cfg.beam_size]
             if all(h["finished"] for h in hyps):

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 # The axon sitecustomize pre-registers the TPU plugin and pins
 # JAX_PLATFORMS=axon before conftest runs; override via jax.config too.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the compile-heavy smoke tests dominate suite
+# time; cached reruns are ~5x faster
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu" and jax.device_count() == 8
 
 import numpy as np  # noqa: E402

@@ -71,6 +71,9 @@ class ModelConfig:
     # CTC loss backend: "auto" (pallas on TPU, scan elsewhere),
     # "scan" (lax.scan alpha recursion), "pallas" (fused alpha/beta kernel)
     ctc_impl: str = "auto"
+    # LSTM backend for vgg_blstm: "auto" | "scan" | "pallas"
+    # (pallas = on-chip recurrence with custom BPTT VJP, first-order only)
+    lstm_impl: str = "auto"
 
 
 @dataclass

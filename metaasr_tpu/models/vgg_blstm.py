@@ -41,11 +41,17 @@ def flip_padded(x: jax.Array, lens: jax.Array) -> jax.Array:
 
 class LSTMLayer(nn.Module):
     """Unidirectional LSTM over padded [B, T, D]; big input matmul hoisted
-    out of the scan."""
+    out of the recurrence.
+
+    ``impl``: "scan" (lax.scan; fully differentiable, any-order) or
+    "pallas" (ops/lstm_pallas.py — recurrence on-chip with a custom BPTT
+    VJP; first-order only) or "auto" (pallas on TPU fp32, scan elsewhere).
+    """
 
     hidden: int
     reverse: bool = False
     dtype: jnp.dtype = jnp.float32
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x: jax.Array, lens: jax.Array) -> jax.Array:
@@ -59,18 +65,30 @@ class LSTMLayer(nn.Module):
                        (self.hidden, h4), jnp.float32)
         u = u.astype(self.dtype)
 
-        def step(carry, gx_t):
-            h, c = carry
-            g = gx_t + h @ u
-            i, f, gg, o = jnp.split(g, 4, axis=-1)
-            # forget-gate bias +1 (standard LSTM training stability)
-            c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
-            h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (h, c), h
+        impl = self.impl
+        if impl == "auto":
+            impl = ("pallas" if (jax.default_backend() == "tpu"
+                                 and self.dtype == jnp.float32) else "scan")
+        if impl == "pallas":
+            from metaasr_tpu.ops.lstm_pallas import pallas_lstm
 
-        init = (jnp.zeros((bsz, self.hidden), self.dtype),
-                jnp.zeros((bsz, self.hidden), self.dtype))
-        _, hs = jax.lax.scan(step, init, jnp.moveaxis(gx, 1, 0))
+            hs = pallas_lstm(jnp.moveaxis(gx, 1, 0).astype(jnp.float32),
+                             u.astype(jnp.float32),
+                             jax.default_backend() != "tpu")
+        else:
+            def step(carry, gx_t):
+                h, c = carry
+                g = gx_t + h @ u
+                i, f, gg, o = jnp.split(g, 4, axis=-1)
+                # forget-gate bias +1 (standard LSTM training stability)
+                c = (jax.nn.sigmoid(f + 1.0) * c
+                     + jax.nn.sigmoid(i) * jnp.tanh(gg))
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            init = (jnp.zeros((bsz, self.hidden), self.dtype),
+                    jnp.zeros((bsz, self.hidden), self.dtype))
+            _, hs = jax.lax.scan(step, init, jnp.moveaxis(gx, 1, 0))
         out = jnp.moveaxis(hs, 0, 1)  # [B, T, H]
         if self.reverse:
             out = flip_padded(out, lens)
@@ -83,15 +101,16 @@ class BLSTM(nn.Module):
     hidden: int
     layers: int
     dtype: jnp.dtype = jnp.float32
+    lstm_impl: str = "scan"
 
     @nn.compact
     def __call__(self, x: jax.Array, lens: jax.Array) -> jax.Array:
         mask = make_non_pad_mask(lens, x.shape[1])[..., None]
         for i in range(self.layers):
             fwd = LSTMLayer(self.hidden, reverse=False, dtype=self.dtype,
-                            name=f"fwd_{i}")(x, lens)
+                            impl=self.lstm_impl, name=f"fwd_{i}")(x, lens)
             bwd = LSTMLayer(self.hidden, reverse=True, dtype=self.dtype,
-                            name=f"bwd_{i}")(x, lens)
+                            impl=self.lstm_impl, name=f"bwd_{i}")(x, lens)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             x = jnp.where(mask, x, 0.0)
         return x
@@ -125,6 +144,7 @@ class VGGBLSTMCTC(nn.Module):
     blstm_layers: int = 4
     vgg_channels: tuple = (64, 128)
     dtype: jnp.dtype = jnp.float32
+    lstm_impl: str = "auto"
 
     @nn.compact
     def __call__(self, feats: jax.Array, feat_lens: jax.Array,
@@ -135,7 +155,8 @@ class VGGBLSTMCTC(nn.Module):
             make_non_pad_mask(feat_lens, feats.shape[1])[..., None], feats, 0.0)
         x = VGGExtractor(self.vgg_channels, dtype=self.dtype)(feats)
         out_lens = vgg_subsampled_lengths(feat_lens, len(self.vgg_channels))
-        x = BLSTM(self.blstm_hidden, self.blstm_layers, dtype=self.dtype)(x, out_lens)
+        x = BLSTM(self.blstm_hidden, self.blstm_layers, dtype=self.dtype,
+                  lstm_impl=self.lstm_impl)(x, out_lens)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="ctc_head")(x)
         return logits, out_lens
 

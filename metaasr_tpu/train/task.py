@@ -43,7 +43,8 @@ def build_model(cfg: Config):
     if m.arch == "vgg_blstm":
         return VGGBLSTMCTC(vocab_size=m.vocab_size, blstm_hidden=m.blstm_hidden,
                            blstm_layers=m.blstm_layers,
-                           vgg_channels=tuple(m.vgg_channels), dtype=dtype)
+                           vgg_channels=tuple(m.vgg_channels), dtype=dtype,
+                           lstm_impl=m.lstm_impl)
     if m.arch == "transformer":
         return TransformerASR(vocab_size=m.vocab_size, d_model=m.d_model,
                               num_heads=m.num_heads, d_ff=m.d_ff,
@@ -88,6 +89,10 @@ class ASRTask:
         from metaasr_tpu.ops.ctc import ctc_loss as scan_ctc
 
         self._ctc_loss = scan_ctc
+        if self.arch == "vgg_blstm" and self.cfg.model.lstm_impl != "scan":
+            # the Pallas LSTM's custom VJP is first-order only too
+            self.cfg.model.lstm_impl = "scan"
+            self.model = build_model(self.cfg)
 
     # ---------- features ----------
 

@@ -64,3 +64,27 @@ def test_pallas_ctc_empty_and_edge(rng):
     ref = ctc_forward(lp, tlens, labels, ulens)
     got = ctc_forward_pallas(lp, tlens, labels, ulens)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5)
+
+
+def test_pallas_lstm_matches_scan(rng):
+    """Pallas LSTM kernel (fwd + custom-VJP BPTT) vs the lax.scan LSTM."""
+    from metaasr_tpu.ops.lstm_pallas import lstm_scan_reference, pallas_lstm
+
+    t_len, bsz, hidden = 37, 5, 24  # unaligned on purpose (padding paths)
+    gx = jnp.asarray(0.5 * rng.standard_normal((t_len, bsz, 4 * hidden))
+                     .astype(np.float32))
+    u = jnp.asarray(0.3 * rng.standard_normal((hidden, 4 * hidden))
+                    .astype(np.float32))
+    ref = lstm_scan_reference(gx, u)
+    got = pallas_lstm(gx, u, True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-6)
+    w = jnp.arange(1, t_len + 1, dtype=jnp.float32)[:, None, None]
+    gp = jax.grad(lambda g, uu: (pallas_lstm(g, uu, True) * w).sum(),
+                  argnums=(0, 1))(gx, u)
+    gs = jax.grad(lambda g, uu: (lstm_scan_reference(g, uu) * w).sum(),
+                  argnums=(0, 1))(gx, u)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=1e-3, atol=1e-3)

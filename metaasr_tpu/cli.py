@@ -86,7 +86,8 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
                                  accents=cfg.data.accents,
                                  vocab=cfg.data.vocab,
                                  sample_rate=cfg.frontend.sample_rate,
-                                 speaker_cmvn_path=spk_path)
+                                 speaker_cmvn_path=spk_path,
+                                 cache_audio=cfg.data.cache_audio)
     heldout = {}
     for name in cfg.data.heldout_accents:
         if name in dsets:

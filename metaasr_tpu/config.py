@@ -117,6 +117,9 @@ class DataConfig:
     # per-accent dev split for training accents (0 = use held-out accents
     # as dev, as in the meta setting)
     dev_fraction: float = 0.0
+    # keep decoded waveforms in host RAM (meta-training re-draws utterances
+    # every step; decode once). Disable for corpora larger than RAM.
+    cache_audio: bool = True
 
 
 @dataclass

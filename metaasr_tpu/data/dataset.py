@@ -71,11 +71,16 @@ class AccentDataset:
     """Random-access utterances of one accent: audio + transcript tokens."""
 
     def __init__(self, manifest: Manifest, tokenizer, vocab: str = "char",
-                 sample_rate: int = 16000, speaker_cmvn: dict | None = None):
+                 sample_rate: int = 16000, speaker_cmvn: dict | None = None,
+                 cache_audio: bool = False):
         self.manifest = manifest
         self.tokenizer = tokenizer
         self.vocab = vocab
         self.sample_rate = sample_rate
+        # host RAM cache of decoded waveforms (the meta sampler re-draws
+        # utterances every step; decode once)
+        self._audio_cache: dict[int, np.ndarray] | None = (
+            {} if cache_audio else None)
         # {speaker: {"mean": [...80], "var": [...80]}} (speaker-level CMVN,
         # SURVEY.md section 2.1 #16); falls back to the speaker "" entry
         # or utterance stats downstream when a speaker is missing
@@ -98,7 +103,8 @@ class AccentDataset:
         mk = lambda utts: AccentDataset(  # noqa: E731
             Manifest(accent=self.accent, root=self.manifest.root, utts=utts),
             self.tokenizer, vocab=self.vocab, sample_rate=self.sample_rate,
-            speaker_cmvn=self.speaker_cmvn)
+            speaker_cmvn=self.speaker_cmvn,
+            cache_audio=self._audio_cache is not None)
         return mk(tr), mk(dv)
 
     @property
@@ -116,7 +122,13 @@ class AccentDataset:
         u = self.manifest.utts[i]
         tokens = self.tokenizer.encode(self.transcript(i))
         if u.wav is not None:
-            audio = load_wav(os.path.join(self.manifest.root, u.wav), self.sample_rate)
+            if self._audio_cache is not None and i in self._audio_cache:
+                audio = self._audio_cache[i]
+            else:
+                audio = load_wav(os.path.join(self.manifest.root, u.wav),
+                                 self.sample_rate)
+                if self._audio_cache is not None:
+                    self._audio_cache[i] = audio
             item = {"utt_id": u.utt_id, "audio": audio, "tokens": tokens,
                     "text": self.transcript(i)}
         else:
@@ -142,8 +154,8 @@ def discover_accents(data_dir: str) -> list[str]:
 
 
 def load_accent_datasets(data_dir: str, tokenizer, accents=(), vocab="char",
-                         sample_rate=16000,
-                         speaker_cmvn_path: str = "") -> dict[str, AccentDataset]:
+                         sample_rate=16000, speaker_cmvn_path: str = "",
+                         cache_audio: bool = False) -> dict[str, AccentDataset]:
     names = list(accents) or discover_accents(data_dir)
     speaker_cmvn = None
     if speaker_cmvn_path:
@@ -153,7 +165,7 @@ def load_accent_datasets(data_dir: str, tokenizer, accents=(), vocab="char",
         name: AccentDataset(
             Manifest.load(os.path.join(data_dir, f"{name}.jsonl"), accent=name),
             tokenizer, vocab=vocab, sample_rate=sample_rate,
-            speaker_cmvn=speaker_cmvn,
+            speaker_cmvn=speaker_cmvn, cache_audio=cache_audio,
         )
         for name in names
     }

@@ -113,6 +113,36 @@ class MetaASRTrainer:
                               opt_state=self.optimizer.init(params),
                               step=0, rng=rng)
 
+    def _batch_feed(self, start_step: int, max_steps: int):
+        """Prefetching iterator of device-ready meta batches.
+
+        Host-side sampling (WAV decode + collate of M*(ks+kq) utterances)
+        can rival the device step time, so a producer thread builds the
+        NEXT batches while the device runs the current one. Batches stay a
+        pure function of (seed, step), so prefetching changes nothing
+        about determinism or resume (SURVEY.md section 5.3)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def produce():
+            for step in range(start_step, max_steps):
+                mb = self.sampler.sample(step)
+                batch = {s: {k: v for k, v in mb[s].items() if k != "texts"}
+                         for s in ("support", "query")}
+                if self.mesh is not None:
+                    batch = shard_meta_batch(self.mesh, mb)
+                q.put(batch)
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+
     def meta_train(self, max_steps: int | None = None) -> MetaTrainState:
         cfg = self.cfg.train
         max_steps = max_steps or cfg.max_steps
@@ -121,14 +151,7 @@ class MetaASRTrainer:
         best = float("inf")
         t0 = time.time()
         utts = 0
-        while int(state.step) < max_steps:
-            # batch is a pure function of (seed, step) => exact replay on
-            # preemption resume (SURVEY.md section 5.3)
-            mb = self.sampler.sample(int(state.step))
-            batch = {s: {k: v for k, v in mb[s].items() if k != "texts"}
-                     for s in ("support", "query")}
-            if self.mesh is not None:
-                batch = shard_meta_batch(self.mesh, mb)
+        for batch in self._batch_feed(int(state.step), max_steps):
             state, metrics = self._jit_step(state, batch)
             utts += (self.cfg.meta.tasks_per_batch
                      * (self.cfg.meta.k_support * self.cfg.meta.inner_steps

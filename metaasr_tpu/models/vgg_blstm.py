@@ -67,8 +67,14 @@ class LSTMLayer(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            impl = ("pallas" if (jax.default_backend() == "tpu"
-                                 and self.dtype == jnp.float32) else "scan")
+            # Measured on v5e: the Pallas LSTM only ties the XLA scan loop
+            # (XLA already keeps the recurrence on-device), and Mosaic
+            # rejects the backward at non-128-aligned hidden sizes, so
+            # "auto" resolves to scan; "pallas" stays available explicitly
+            # for aligned shapes.
+            impl = "scan"
+        if impl == "pallas" and self.hidden % 128:
+            impl = "scan"
         if impl == "pallas":
             from metaasr_tpu.ops.lstm_pallas import pallas_lstm
 

@@ -122,6 +122,11 @@ class DataConfig:
     # keep decoded waveforms in host RAM (meta-training re-draws utterances
     # every step; decode once). Disable for corpora larger than RAM.
     cache_audio: bool = True
+    # device-resident corpus for meta-training: the padded dataset is
+    # device_put once and steps transfer only index arrays (on-device
+    # gather). "auto" = resident when the packed corpus fits the budget.
+    resident: str = "auto"         # "auto" | "on" | "off"
+    resident_max_gb: float = 4.0
 
 
 @dataclass

@@ -119,16 +119,15 @@ class AccentDataset:
         return u.phones if self.vocab == "phone" else u.text
 
     def __getitem__(self, i: int) -> dict:
+        if self._audio_cache is not None:
+            hit = self._audio_cache.get(i)
+            if hit is not None:
+                return hit
         u = self.manifest.utts[i]
         tokens = self.tokenizer.encode(self.transcript(i))
         if u.wav is not None:
-            if self._audio_cache is not None and i in self._audio_cache:
-                audio = self._audio_cache[i]
-            else:
-                audio = load_wav(os.path.join(self.manifest.root, u.wav),
-                                 self.sample_rate)
-                if self._audio_cache is not None:
-                    self._audio_cache[i] = audio
+            audio = load_wav(os.path.join(self.manifest.root, u.wav),
+                             self.sample_rate)
             item = {"utt_id": u.utt_id, "audio": audio, "tokens": tokens,
                     "text": self.transcript(i)}
         else:
@@ -141,6 +140,10 @@ class AccentDataset:
                 item["cmvn_mean"] = np.asarray(st["mean"], np.float32)
                 item["cmvn_std"] = np.sqrt(
                     np.asarray(st["var"], np.float32) + 1e-10)
+        if self._audio_cache is not None:
+            # cache the full item (audio + tokens are immutable; collate
+            # only reads) — host pipeline cost drops to pad+stack
+            self._audio_cache[i] = item
         return item
 
 

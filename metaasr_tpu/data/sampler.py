@@ -136,34 +136,42 @@ class TaskSampler:
         self.seed = seed
         self._step = 0
 
-    def sample(self, step: int | None = None) -> dict:
-        """Meta-batch for ``step``. STATELESS-DETERMINISTIC: the batch is a
-        pure function of (seed, step), so resuming from a checkpointed
-        step index replays the exact data stream — the preemption-safe
-        iterator-state story (SURVEY.md section 5.3) without serializing
-        RNG objects."""
-        if step is None:
-            step = self._step
-            self._step += 1
+    def sample_indices(self, step: int):
+        """Deterministic draw for ``step``: (accents [M], support_idx
+        [M, ks], query_idx [M, kq]) — per-accent utterance indices. The
+        batch is a pure function of (seed, step) (SURVEY.md section 5.3)."""
         rng = np.random.default_rng((self.seed, int(step)))
         accents = rng.choice(self.accents, size=self.tasks_per_batch,
                              replace=False)
-        sup, qry = [], []
+        sup_idx, qry_idx = [], []
         for a in accents:
-            ds = self.datasets[a]
-            n = len(ds)
+            n = len(self.datasets[a])
             idx = rng.choice(n, size=min(self.k_support + self.k_query, n),
                              replace=n < self.k_support + self.k_query)
             s_idx, q_idx = idx[: self.k_support], idx[self.k_support:]
             if len(q_idx) < self.k_query:
                 q_idx = np.concatenate(
                     [q_idx, rng.choice(n, size=self.k_query - len(q_idx))])
+            sup_idx.append(s_idx.astype(np.int32))
+            qry_idx.append(q_idx.astype(np.int32))
+        return list(accents), np.stack(sup_idx), np.stack(qry_idx)
+
+    def sample(self, step: int | None = None) -> dict:
+        """Meta-batch for ``step`` (stateless-deterministic, see
+        sample_indices)."""
+        if step is None:
+            step = self._step
+            self._step += 1
+        accents, sup_idx, qry_idx = self.sample_indices(int(step))
+        sup, qry = [], []
+        for a, s_idx, q_idx in zip(accents, sup_idx, qry_idx):
+            ds = self.datasets[a]
             sup.append(collate([ds[int(i)] for i in s_idx],
                                self.num_samples, self.num_tokens))
             qry.append(collate([ds[int(i)] for i in q_idx],
                                self.num_samples, self.num_tokens))
         return {
-            "accents": list(accents),
+            "accents": accents,
             "support": _stack_batches(sup),
             "query": _stack_batches(qry),
         }
@@ -187,6 +195,35 @@ def support_query_split(ds, k_support: int, num_samples: int, num_tokens: int,
     test_idx = [int(i) for i in idx[k_support:]]
     support = collate([ds[int(i)] for i in s_idx], num_samples, num_tokens)
     return support, test_idx
+
+
+def build_resident_store(datasets: dict, num_samples: int, num_tokens: int):
+    """Pack every utterance of every accent into one padded array set for
+    DEVICE-RESIDENT training: the corpus is device_put once and each step
+    transfers only [M, k] int32 index arrays; batch assembly is an
+    on-device gather. (Per-step bulk host->device transfer is the dominant
+    cost on hosts with slow interconnect, and XLA gathers are ~free.)
+
+    Returns (store dict of [N, ...] numpy arrays, {accent: offset}).
+    Global index of accent a's utterance i = offset[a] + i.
+    """
+    accents = sorted(datasets)
+    offsets = {}
+    items = []
+    for a in accents:
+        offsets[a] = len(items)
+        ds = datasets[a]
+        for i in range(len(ds)):
+            items.append(ds[i])
+    batch = collate(items, num_samples, num_tokens)
+    store = {k: v for k, v in batch.items() if k != "texts"}
+    return store, offsets
+
+
+def resident_store_bytes(datasets: dict, num_samples: int,
+                         num_tokens: int) -> int:
+    n = sum(len(ds) for ds in datasets.values())
+    return n * (num_samples * 4 + num_tokens * 4 + 8)
 
 
 def _stack_batches(batches: list[dict]) -> dict:

@@ -78,6 +78,53 @@ class MetaASRTrainer:
         self._grad_fn = maml_grads(self.task.loss_fn, algo_config(cfg),
                                    preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
+        self._setup_resident()
+
+    def _setup_resident(self):
+        """Device-resident corpus mode (data.resident): pack the dataset
+        onto the device once; each step transfers only [M, k] index
+        arrays and gathers the batch on-device. Removes per-step bulk H2D
+        (the dominant CLI-training cost on slow-interconnect hosts)."""
+        from metaasr_tpu.data.sampler import (
+            build_resident_store,
+            resident_store_bytes,
+        )
+
+        d = self.cfg.data
+        self._store = None
+        if self.mesh is not None or d.resident == "off":
+            return
+        nbytes = resident_store_bytes(self.accent_datasets,
+                                      self._num_samples_cap(), d.max_tokens)
+        if d.resident == "auto" and nbytes > d.resident_max_gb * 1e9:
+            return
+        store_np, self._offsets = build_resident_store(
+            self.accent_datasets, self._num_samples_cap(), d.max_tokens)
+        self._store = jax.device_put(store_np)
+
+        def step(state: MetaTrainState, store: dict, sup_idx, qry_idx):
+            def gather(idx):
+                return {k: v[idx] for k, v in store.items()}
+
+            meta_batch = {"support": gather(sup_idx),
+                          "query": gather(qry_idx)}
+            rng = jax.random.fold_in(state.rng, state.step)
+            grads, metrics = self._grad_fn(state.params, meta_batch, rng)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return MetaTrainState(params=params, opt_state=opt_state,
+                                  step=state.step + 1, rng=state.rng), metrics
+
+        self._jit_step_resident = jax.jit(step, donate_argnums=0)
+
+    def _resident_indices(self, step: int):
+        accents, sup, qry = self.sampler.sample_indices(step)
+        off = np.asarray([self._offsets[a] for a in accents],
+                         dtype=np.int32)[:, None]
+        return sup + off, qry + off
 
     def _num_samples_cap(self) -> int:
         # max_frames is a feature-frame cap; convert to raw samples
@@ -129,11 +176,8 @@ class MetaASRTrainer:
         def produce():
             for step in range(start_step, max_steps):
                 mb = self.sampler.sample(step)
-                batch = {s: {k: v for k, v in mb[s].items() if k != "texts"}
-                         for s in ("support", "query")}
-                if self.mesh is not None:
-                    batch = shard_meta_batch(self.mesh, mb)
-                q.put(batch)
+                q.put({s: {k: v for k, v in mb[s].items() if k != "texts"}
+                       for s in ("support", "query")})
             q.put(None)
 
         threading.Thread(target=produce, daemon=True).start()
@@ -141,6 +185,14 @@ class MetaASRTrainer:
             batch = q.get()
             if batch is None:
                 return
+            # device_put on the MAIN thread: producer-side transfers
+            # contend with the compute stream on this TPU attachment and
+            # degrade over time; main-thread transfer is stable.
+            if self.mesh is None:
+                batch = jax.device_put(batch)
+            else:
+                batch = shard_meta_batch(self.mesh, {"support": batch["support"],
+                                                     "query": batch["query"]})
             yield batch
 
     def meta_train(self, max_steps: int | None = None) -> MetaTrainState:
@@ -151,8 +203,18 @@ class MetaASRTrainer:
         best = float("inf")
         t0 = time.time()
         utts = 0
-        for batch in self._batch_feed(int(state.step), max_steps):
-            state, metrics = self._jit_step(state, batch)
+        if self._store is not None:
+            feed = (self._resident_indices(s)
+                    for s in range(int(state.step), max_steps))
+        else:
+            feed = self._batch_feed(int(state.step), max_steps)
+        for batch in feed:
+            if self._store is not None:
+                sup_idx, qry_idx = batch
+                state, metrics = self._jit_step_resident(
+                    state, self._store, sup_idx, qry_idx)
+            else:
+                state, metrics = self._jit_step(state, batch)
             utts += (self.cfg.meta.tasks_per_batch
                      * (self.cfg.meta.k_support * self.cfg.meta.inner_steps
                         + self.cfg.meta.k_query))

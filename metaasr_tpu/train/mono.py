@@ -95,7 +95,8 @@ class MonoASRTrainer:
         for batch in data:
             if int(state.step) >= max_steps:
                 break
-            state, metrics = self._jit_step(state, device_batch(batch))
+            state, metrics = self._jit_step(
+                state, jax.device_put(device_batch(batch)))
             utts += len(batch["texts"])
             step = int(state.step)
             if step % cfg.log_every == 0:

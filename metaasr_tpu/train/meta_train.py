@@ -78,7 +78,8 @@ class MetaASRTrainer:
         self._grad_fn = maml_grads(self.task.loss_fn, algo_config(cfg),
                                    preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
-        self._setup_resident()
+        self._store = None
+        self._resident_ready = False
 
     def _setup_resident(self):
         """Device-resident corpus mode (data.resident): pack the dataset
@@ -90,8 +91,12 @@ class MetaASRTrainer:
             resident_store_bytes,
         )
 
+        # lazy: packing decodes the whole corpus — only pay it when
+        # meta_train actually runs (not in adapt/test-only sessions)
+        if self._resident_ready:
+            return
+        self._resident_ready = True
         d = self.cfg.data
-        self._store = None
         if self.mesh is not None or d.resident == "off":
             return
         nbytes = resident_store_bytes(self.accent_datasets,
@@ -203,6 +208,7 @@ class MetaASRTrainer:
         best = float("inf")
         t0 = time.time()
         utts = 0
+        self._setup_resident()
         if self._store is not None:
             feed = (self._resident_indices(s)
                     for s in range(int(state.step), max_steps))

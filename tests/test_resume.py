@@ -66,3 +66,26 @@ def test_meta_train_resume_exact(synthetic_data_dir, tmp_path):
                              jax.tree_util.tree_leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(p_full), np.asarray(p_res),
                                    rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_resident_equals_streaming(synthetic_data_dir, tmp_path):
+    """Device-resident (index-gather) and streaming (collate+transfer)
+    training paths must produce identical params: the meta batch is the
+    same pure function of (seed, step) either way."""
+    tok = CharTokenizer.ascii_default()
+
+    def run(mode, wd):
+        cfg = _cfg(tok)
+        cfg.data.resident = mode
+        dsets = load_accent_datasets(synthetic_data_dir, tok)
+        task = ASRTask(cfg, tok.sos_eos_id)
+        tr = MetaASRTrainer(cfg, task, dsets, {}, tok, str(tmp_path / wd))
+        return tr.meta_train(max_steps=3)
+
+    s_res = run("on", "res")
+    s_str = run("off", "str")
+    for a, b in zip(jax.tree_util.tree_leaves(s_res.params),
+                    jax.tree_util.tree_leaves(s_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

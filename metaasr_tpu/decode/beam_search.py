@@ -55,6 +55,9 @@ class BeamSearchConfig:
     # eos is always included on top. Essential for large (BPE) vocabs:
     # prefix-scan work scales with the candidate count, not |V|.
     ctc_candidates: int = 0
+    # rank final hypotheses by score / max(length, 1) (ESPnet's length
+    # normalization) instead of the raw cumulative score
+    normalize_final: bool = False
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
@@ -312,8 +315,10 @@ def batched_beam_search(decoder_step_fn, init_caches,
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
 
-    # unfinished hypotheses: add their eos/complete score for comparability
-    order = jnp.argsort(-state["score"], axis=1)
+    final = state["score"]
+    if cfg.normalize_final:
+        final = final / jnp.maximum(state["length"].astype(jnp.float32), 1.0)
+    order = jnp.argsort(-final, axis=1)
     return {
         "tokens": jnp.take_along_axis(state["tokens"], order[:, :, None], 1),
         "lengths": jnp.take_along_axis(state["length"], order, 1),

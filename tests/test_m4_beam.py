@@ -256,3 +256,28 @@ def test_ctc_candidate_pruning_small_c_decodes(rng):
     toks = np.asarray(out["tokens"])
     assert ((toks >= 0) & (toks < VOCAB)).all()
     assert np.asarray(out["scores"]).max() > NEG / 2
+
+
+def test_length_normalized_final_ranking(rng):
+    """normalize_final reranks by score/length; same hypothesis set."""
+    model, params, feats, lens = _model_and_inputs(rng)
+    raw = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3))
+    norm = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3,
+                         normalize_final=True))
+    # the sets of (score, length) pairs agree; only the order may change
+    for b in range(feats.shape[0]):
+        raw_set = {(round(float(s), 4), int(l))
+                   for s, l in zip(np.asarray(raw["scores"][b]),
+                                   np.asarray(raw["lengths"][b]))}
+        norm_set = {(round(float(s), 4), int(l))
+                    for s, l in zip(np.asarray(norm["scores"][b]),
+                                    np.asarray(norm["lengths"][b]))}
+        assert raw_set == norm_set
+        # normalized order is by score/len
+        ns = np.asarray(norm["scores"][b]) / np.maximum(
+            np.asarray(norm["lengths"][b]).astype(float), 1.0)
+        assert (np.diff(ns) <= 1e-6).all()

@@ -95,11 +95,26 @@ def measure_jax(steps: int = 20) -> float:
         return params, opt_state, metrics["meta_loss"]
 
     key = jax.random.PRNGKey(0)
+    # XLA's own FLOP count for the whole compiled meta-step (fwd+bwd of
+    # inner SGD + query grads + Adam), for the MFU estimate
+    try:
+        compiled = step.lower(params, opt_state, meta_batch, key).compile()
+        flops_per_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = float("nan")
     params, opt_state, loss = step(params, opt_state, meta_batch, key)
     jax.block_until_ready(loss)  # compile
     for _ in range(3):  # warmup
         params, opt_state, loss = step(params, opt_state, meta_batch, key)
     jax.block_until_ready(loss)
+    if os.environ.get("BENCH_PROFILE"):
+        with jax.profiler.trace(os.path.join(os.path.dirname(_CACHE),
+                                             "profiles")):
+            for i in range(5):
+                key = jax.random.fold_in(key, 1000 + i)
+                params, opt_state, loss = step(params, opt_state,
+                                               meta_batch, key)
+            jax.block_until_ready(loss)
     # Throughput methodology: enqueue all steps, block once — measures
     # sustained device time (the training loop overlaps host dispatch),
     # not per-step host sync latency.
@@ -110,7 +125,12 @@ def measure_jax(steps: int = 20) -> float:
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / steps
     utts = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
-    return utts / dt
+    kind = jax.devices()[0].device_kind.lower()
+    # dense bf16 peak per chip: v5e 197 TF, v4 275 TF, v5p 459 TF
+    peak = (275e12 if "v4" in kind else 459e12 if "v5p" in kind
+            else 197e12)
+    mfu = (flops_per_step / dt) / peak
+    return utts / dt, mfu
 
 
 def torch_baseline() -> float:
@@ -132,14 +152,22 @@ def torch_baseline() -> float:
 
 
 def main():
-    value = measure_jax()
+    value, mfu = measure_jax()
     base = torch_baseline()
     vs = value / base if base == base else None  # nan check
+    # `value` counts utterance-PRESENTATIONS (each support utt is consumed
+    # once per inner step — the torch baseline counts identically, so
+    # vs_baseline is apples-to-apples); unique_utts_per_sec counts each
+    # drawn utterance once per meta-step (the stricter reading).
+    passes = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
+    unique = M_TASKS * (K_SUPPORT + K_QUERY)
     print(json.dumps({
         "metric": "fomaml_meta_train_throughput",
         "value": round(value, 2),
         "unit": "utts/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "unique_utts_per_sec": round(value * unique / passes, 2),
+        "mfu": round(mfu, 4) if mfu == mfu else None,
         "baseline": "pytorch reference-style copy-the-model FOMAML (cpu, "
                     "reference GPU unavailable)",
         "workload": {"tasks": M_TASKS, "k_support": K_SUPPORT,

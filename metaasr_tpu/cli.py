@@ -147,6 +147,14 @@ def main(argv=None):
 
         nan_check(True)
 
+    # resume/adapt/test default to the run's own recorded config: without
+    # this, a second invocation with different flags silently overwrites
+    # workdir/config.yaml and can make the checkpoint unrestorable (e.g. a
+    # PRNG-impl change flips the key shape)
+    wd_cfg = os.path.join(args.workdir, "config.yaml")
+    if args.config is None and os.path.exists(wd_cfg):
+        args.config = wd_cfg
+
     overrides = dict(_parse_override(kv) for kv in args.override)
     if args.algo:
         overrides["meta.algo"] = args.algo
@@ -159,10 +167,14 @@ def main(argv=None):
         overrides["train.max_steps"] = args.max_steps
     cfg = load_config(args.config, overrides)
 
-    if cfg.train.prng_impl:
-        import jax
+    import jax
 
+    if cfg.train.prng_impl:
         jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
+    if cfg.train.compile_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(cfg.train.compile_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     os.makedirs(args.workdir, exist_ok=True)
     save_config(cfg, os.path.join(args.workdir, "config.yaml"))

@@ -46,6 +46,9 @@ class SpecAugmentConfig:
     num_time_masks: int = 2
     time_mask_width: int = 70
     time_mask_max_ratio: float = 0.2  # cap mask at ratio * valid length
+    # time-warp window W (SURVEY.md section 2.1 #17: W≈5, often disabled);
+    # 0 = off
+    time_warp: int = 0
 
 
 @dataclass
@@ -113,6 +116,11 @@ class DataConfig:
     max_tokens: int = 128
     frame_buckets: tuple = (256, 512, 1024, 1600)
     token_buckets: tuple = (32, 64, 128)
+    # bucketed META batches: each meta-step pads to the smallest
+    # (frame_buckets x token_buckets) shape that fits its longest drawn
+    # utterance instead of the global (max_frames, max_tokens) cap; the
+    # jitted step compiles once per occurring bucket shape
+    meta_buckets: bool = True
     vocab: str = "char"            # "char" | "phone" | "bpe"
     num_workers: int = 0
     seed: int = 0
@@ -150,6 +158,25 @@ class TrainConfig:
     beam_size: int = 10
     decode_ctc_weight: float = 0.3
     length_penalty: float = 0.0
+    # CTC-score only the top-N attention candidates per hypothesis
+    # (ESPnet candidate pruning; 0 = full vocab)
+    ctc_candidates: int = 0
+    # rank final beam hypotheses by score/length (ESPnet length norm)
+    normalize_final: bool = False
+    # coverage penalty at final beam ranking (0 = off): reward per valid
+    # encoder frame with accumulated cross-attention > coverage_tau
+    coverage_weight: float = 0.0
+    coverage_tau: float = 0.5
+    # decode mode for periodic held-out eval / best-ckpt selection:
+    # "beam" tracks the same metric RESULTS reports (falls back to greedy
+    # for non-transformer archs); "greedy" is cheaper but noisier
+    eval_decode_mode: str = "beam"
+    # utterances per held-out accent scored at periodic evals (bounds the
+    # cost of beam-mode best-ckpt tracking)
+    eval_max_utts: int = 32
+    # persistent XLA compile cache ("" = disabled): resume/adapt/test
+    # sessions skip minutes of recompilation of the same graphs
+    compile_cache_dir: str = "~/.cache/metaasr_tpu/jax_cache"
     # PRNG implementation: "rbg" (TPU hardware generator; ~13% faster
     # meta-steps than threefry at these sizes) or "threefry" (splittable
     # reference PRNG). Applied at CLI/bench startup.
@@ -173,6 +200,15 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
 
 
+def _coerce_scalar(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
 def _from_dict(cls, d: dict):
     if not dataclasses.is_dataclass(cls):
         return d
@@ -191,8 +227,12 @@ def _from_dict(cls, d: dict):
         elif isinstance(v, list):
             kwargs[k] = tuple(v)
         elif isinstance(default, tuple) and isinstance(v, str):
-            # CLI override of a list field: comma-separated string
-            kwargs[k] = tuple(s for s in v.split(",") if s)
+            # CLI override of a list field: comma-separated string;
+            # numeric elements keep their numeric type
+            kwargs[k] = tuple(_coerce_scalar(s) for s in v.split(",") if s)
+        elif isinstance(default, tuple) and isinstance(v, (int, float)):
+            # CLI override of a list field with a single scalar
+            kwargs[k] = (v,)
         else:
             kwargs[k] = v
         del ftype

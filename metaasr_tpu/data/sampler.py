@@ -32,32 +32,63 @@ DEFAULT_TOKEN_BUCKETS = (16, 32, 64, 128)
 
 
 def collate(items: list[dict], num_samples: int, num_tokens: int) -> dict:
-    """Pad a list of dataset items to [B, num_samples] / [B, num_tokens]."""
+    """Pad a list of dataset items to [B, num_samples] / [B, num_tokens].
+
+    Audio-manifest items carry raw waveforms ('audio'); precomputed-feature
+    items ('feats' [T, 80], the reference's offline-extraction mode,
+    SURVEY.md section 2.1 #12) are padded to the frame count the same
+    ``num_samples`` waveform cap would produce, so both modes share bucket
+    geometry and downstream shapes.
+    """
     bsz = len(items)
-    audio = np.zeros((bsz, num_samples), dtype=np.float32)
-    audio_lens = np.zeros((bsz,), dtype=np.int32)
+    feats_mode = "feats" in items[0]
+    if any(("feats" in it) != feats_mode for it in items):
+        raise ValueError(
+            "collate: cannot mix precomputed-feature and raw-audio items "
+            "in one batch (check that every manifest in the run uses the "
+            "same payload mode)")
     tokens = np.zeros((bsz, num_tokens), dtype=np.int32)
     token_lens = np.zeros((bsz,), dtype=np.int32)
     texts = []
+    if feats_mode:
+        from metaasr_tpu.frontend.fbank import num_frames
+
+        t_max = max(1, num_frames(num_samples))
+        feat_dim = items[0]["feats"].shape[1]
+        feats = np.zeros((bsz, t_max, feat_dim), dtype=np.float32)
+        feat_lens = np.zeros((bsz,), dtype=np.int32)
+        for i, it in enumerate(items):
+            f = it["feats"][:t_max]
+            feats[i, : len(f)] = f
+            feat_lens[i] = len(f)
+    else:
+        audio = np.zeros((bsz, num_samples), dtype=np.float32)
+        audio_lens = np.zeros((bsz,), dtype=np.int32)
+        for i, it in enumerate(items):
+            a = it["audio"][:num_samples]
+            audio[i, : len(a)] = a
+            audio_lens[i] = len(a)
     for i, it in enumerate(items):
-        a = it["audio"][:num_samples]
         t = it["tokens"][:num_tokens]
-        audio[i, : len(a)] = a
-        audio_lens[i] = len(a)
         tokens[i, : len(t)] = t
         token_lens[i] = len(t)
         texts.append(it["text"])
-    out = {
-        "audio": audio,
-        "audio_lens": audio_lens,
-        "tokens": tokens,
-        "token_lens": token_lens,
-        "texts": texts,
-    }
+    out = ({"feats": feats, "feat_lens": feat_lens} if feats_mode
+           else {"audio": audio, "audio_lens": audio_lens})
+    out.update({"tokens": tokens, "token_lens": token_lens, "texts": texts})
     if items and "cmvn_mean" in items[0]:  # speaker-level CMVN vectors
         out["cmvn_mean"] = np.stack([it["cmvn_mean"] for it in items])
         out["cmvn_std"] = np.stack([it["cmvn_std"] for it in items])
     return out
+
+
+def item_samples(item: dict) -> int:
+    """Waveform-sample length of a dataset item, either payload mode.
+    Feature items map frames back to the sample count that produces
+    exactly that frame count (exact inverse of fbank.num_frames)."""
+    if "audio" in item:
+        return len(item["audio"])
+    return len(item["feats"]) * 160 + 240
 
 
 class BucketBatcher:
@@ -73,37 +104,82 @@ class BucketBatcher:
     def __init__(self, datasets, batch_size: int,
                  sample_buckets=DEFAULT_SAMPLE_BUCKETS,
                  token_buckets=DEFAULT_TOKEN_BUCKETS,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, tokenizer=None):
         if not isinstance(datasets, (list, tuple)):
             datasets = [datasets]
         self.datasets = list(datasets)
         self.batch_size = batch_size
         self.sample_buckets = tuple(sample_buckets)
         self.token_buckets = tuple(token_buckets)
-        self.rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self.drop_last = drop_last
         # Pool (dataset_idx, utt_idx, bucket_key), host-side metadata only.
         self.index = []
         for di, ds in enumerate(self.datasets):
             for ui, u in enumerate(ds.manifest.utts):
                 sb = bucket_length(u.num_samples, self.sample_buckets)
-                # token length is only known post-tokenize; over-approximate
-                # with the transcript length (chars >= tokens).
-                tb = bucket_length(max(len(ds.transcript(ui)), 1), self.token_buckets)
+                if tokenizer is not None:
+                    # exact token length: the char-count heuristic under-
+                    # estimates for phone vocabularies ('box' -> 4 phones >
+                    # 3 chars) and collate would silently truncate labels
+                    tok_len = len(tokenizer.encode(ds.transcript(ui)))
+                else:
+                    # over-approximate with transcript chars (chars >= tokens
+                    # for char vocab)
+                    tok_len = len(ds.transcript(ui))
+                tb = bucket_length(max(tok_len, 1), self.token_buckets)
                 self.index.append((di, ui, (sb, tb)))
 
-    def __iter__(self):
-        order = self.rng.permutation(len(self.index))
+    @property
+    def batches_per_epoch(self) -> int:
+        """Constant across epochs: bucket membership is fixed, only the
+        order inside each bucket is permuted."""
+        counts: dict[tuple, int] = {}
+        for _, _, key in self.index:
+            counts[key] = counts.get(key, 0) + 1
+        full = sum(n // self.batch_size for n in counts.values())
+        if self.drop_last:
+            return full
+        return full + sum(1 for n in counts.values() if n % self.batch_size)
+
+    def _epoch_refs(self, epoch: int):
+        """(key, refs) batch plan for one epoch — a pure function of
+        (seed, epoch), so resume can replay the data order exactly
+        (SURVEY.md section 5.3)."""
+        order = np.random.default_rng(
+            (self.seed, int(epoch))).permutation(len(self.index))
         pending: dict[tuple, list] = {}
         for oi in order:
             di, ui, key = self.index[oi]
             pending.setdefault(key, []).append((di, ui))
             if len(pending[key]) == self.batch_size:
-                yield self._emit(key, pending.pop(key))
+                yield key, pending.pop(key)
         if not self.drop_last:
             for key, items in pending.items():
                 if items:
-                    yield self._emit(key, items)
+                    yield key, items
+
+    def __iter__(self):
+        """One epoch (epoch 0). For training loops use ``iter_from``."""
+        for key, refs in self._epoch_refs(0):
+            yield self._emit(key, refs)
+
+    def iter_from(self, global_step: int):
+        """Infinite batch stream starting at batch index ``global_step``
+        of the deterministic (seed, epoch)-indexed schedule. Skipped
+        batches are planned but never loaded, so resume is O(1) per
+        skipped batch."""
+        bpe = self.batches_per_epoch
+        if bpe == 0:
+            raise ValueError("BucketBatcher: dataset yields zero batches "
+                             "(batch_size too large for every bucket?)")
+        epoch, skip = divmod(int(global_step), bpe)
+        while True:
+            for bi, (key, refs) in enumerate(self._epoch_refs(epoch)):
+                if bi < skip:
+                    continue
+                yield self._emit(key, refs)
+            epoch, skip = epoch + 1, 0
 
     def _emit(self, key, refs):
         sb, tb = key
@@ -122,7 +198,7 @@ class TaskSampler:
 
     def __init__(self, datasets: dict, k_support: int, k_query: int,
                  tasks_per_batch: int, num_samples: int, num_tokens: int,
-                 seed: int = 0):
+                 seed: int = 0, sample_buckets=(), token_buckets=()):
         self.datasets = dict(datasets)
         self.accents = sorted(self.datasets)
         if tasks_per_batch > len(self.accents):
@@ -135,6 +211,26 @@ class TaskSampler:
         self.num_tokens = num_tokens
         self.seed = seed
         self._step = 0
+        # Bucketed meta batches (SURVEY.md section 5.7 'a small set of
+        # padded static shapes'): per step, the batch pads to the smallest
+        # bucket that fits the LONGEST drawn utterance instead of the
+        # global cap — with realistic length spreads most MXU work was
+        # padding. Buckets are clamped to the caps; empty = always use the
+        # caps (one static shape, the round-1 behavior).
+        self.sample_buckets = tuple(
+            sorted({min(int(s), num_samples) for s in sample_buckets}))
+        self.token_buckets = tuple(
+            sorted({min(int(u), num_tokens) for u in token_buckets}))
+        # per-accent (num_samples, token_len) metadata, so the per-step
+        # bucket choice never loads audio
+        self._meta = {}
+        for a, ds in self.datasets.items():
+            ns = np.asarray([min(u.num_samples, num_samples)
+                             for u in ds.manifest.utts], np.int64)
+            tl = np.asarray(
+                [min(len(ds.tokenizer.encode(ds.transcript(i))), num_tokens)
+                 for i in range(len(ds))], np.int64)
+            self._meta[a] = (ns, tl)
 
     def sample_indices(self, step: int):
         """Deterministic draw for ``step``: (accents [M], support_idx
@@ -156,25 +252,58 @@ class TaskSampler:
             qry_idx.append(q_idx.astype(np.int32))
         return list(accents), np.stack(sup_idx), np.stack(qry_idx)
 
-    def sample(self, step: int | None = None) -> dict:
+    def sample(self, step: int | None = None,
+               rows: slice | None = None) -> dict:
         """Meta-batch for ``step`` (stateless-deterministic, see
-        sample_indices)."""
+        sample_indices).
+
+        ``rows``: restrict collation to a slice of the M task rows — on a
+        multi-host pod each host collates only the rows it owns
+        (parallel.distributed.host_local_slice) while the draw itself stays
+        globally deterministic, so the assembled global batch is identical
+        to the single-host one (SURVEY.md section 5.8).
+        """
         if step is None:
             step = self._step
             self._step += 1
         accents, sup_idx, qry_idx = self.sample_indices(int(step))
+        # per-step bucket shape from manifest metadata, decided over ALL
+        # task rows (multi-host: every host computes the same shape even
+        # though it collates only its own rows)
+        num_samples, num_tokens = self.step_shape(accents, sup_idx, qry_idx)
+        if rows is not None:
+            accents = accents[rows]
+            sup_idx, qry_idx = sup_idx[rows], qry_idx[rows]
         sup, qry = [], []
         for a, s_idx, q_idx in zip(accents, sup_idx, qry_idx):
             ds = self.datasets[a]
             sup.append(collate([ds[int(i)] for i in s_idx],
-                               self.num_samples, self.num_tokens))
+                               num_samples, num_tokens))
             qry.append(collate([ds[int(i)] for i in q_idx],
-                               self.num_samples, self.num_tokens))
+                               num_samples, num_tokens))
         return {
             "accents": accents,
             "support": _stack_batches(sup),
             "query": _stack_batches(qry),
         }
+
+    def step_shape(self, accents, sup_idx, qry_idx) -> tuple[int, int]:
+        """(num_samples, num_tokens) pad shape for this draw: the smallest
+        configured bucket that fits the longest drawn utterance (the caps
+        when no buckets are configured)."""
+        if not self.sample_buckets and not self.token_buckets:
+            return self.num_samples, self.num_tokens
+        s_max, u_max = 1, 1
+        for a, s_idx, q_idx in zip(accents, sup_idx, qry_idx):
+            ns, tl = self._meta[a]
+            idx = np.concatenate([s_idx, q_idx])
+            s_max = max(s_max, int(ns[idx].max()))
+            u_max = max(u_max, int(tl[idx].max()))
+        s = (bucket_length(s_max, self.sample_buckets)
+             if self.sample_buckets else self.num_samples)
+        u = (bucket_length(u_max, self.token_buckets)
+             if self.token_buckets else self.num_tokens)
+        return s, u
 
     def set_step(self, step: int) -> None:
         self._step = int(step)

@@ -58,6 +58,13 @@ class BeamSearchConfig:
     # rank final hypotheses by score / max(length, 1) (ESPnet's length
     # normalization) instead of the raw cumulative score
     normalize_final: bool = False
+    # coverage penalty (Chorowski & Jaitly 2017 form): at final ranking,
+    # reward each valid encoder frame whose accumulated cross-attention
+    # mass exceeds ``coverage_tau`` with ``coverage_weight`` — hypotheses
+    # that attend over the whole utterance beat ones that loop or stop
+    # early. 0 = off (the common setting).
+    coverage_weight: float = 0.0
+    coverage_tau: float = 0.5
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
@@ -155,8 +162,9 @@ def batched_beam_search(decoder_step_fn, init_caches,
     """Run the search.
 
     decoder_step_fn(tokens [N,1], step, caches) -> (log_probs [N, V],
-    new_caches), N = B*K; the encoder context (precomputed cross K/V,
-    lengths) lives in the closure.
+    new_caches) — or (log_probs, new_caches, cross_attn [N, T]) when
+    cfg.coverage_weight != 0 — N = B*K; the encoder context (precomputed
+    cross K/V, lengths) lives in the closure.
     init_caches: decoder self-attn KV caches for N=B*K rows, len >= max_len.
     ctc_logits: [B, T, V] raw CTC head outputs on the encoder frames.
 
@@ -182,14 +190,22 @@ def batched_beam_search(decoder_step_fn, init_caches,
         "r_b": r_b,
         "caches": init_caches,
     }
+    use_cov = cfg.coverage_weight != 0.0
+    if use_cov:
+        state["coverage"] = jnp.zeros((bsz, k, t_len), jnp.float32)
 
     n_cand = vocab if cfg.ctc_candidates <= 0 else min(
         cfg.ctc_candidates + 1, vocab)  # +1: eos always included
 
     def step_fn(state, step_idx):
         # 1) batched decoder step on all hypotheses
-        att_logp, new_caches = decoder_step_fn(
+        out = decoder_step_fn(
             state["last"].reshape(bsz * k, 1), step_idx, state["caches"])
+        if use_cov:
+            att_logp, new_caches, cross_attn = out
+            cross_attn = cross_attn.reshape(bsz, k, -1)       # [B, K, T]
+        else:
+            att_logp, new_caches = out
         att_logp = att_logp.reshape(bsz, k, vocab)
 
         # 2) candidate set: full vocabulary, or top-N by attention score
@@ -277,6 +293,12 @@ def batched_beam_search(decoder_step_fn, init_caches,
         new_rnb = jnp.where(keep_r, sel(state["r_nb"]), sel_cand(new_r_nb))
         new_rb = jnp.where(keep_r, sel(state["r_b"]), sel_cand(new_r_b))
 
+        if use_cov:
+            # accumulate the emitted token's cross-attention mass; frozen
+            # hyps and the eos emission itself add nothing
+            new_cov = jnp.where(keep_r, sel(state["coverage"]),
+                                sel(state["coverage"]) + sel(cross_attn))
+
         # decoder caches: [B*K, L, H, Dh] leaves -> gather parent beams
         def sel_cache(x):
             xs = x.reshape((bsz, k) + x.shape[1:])
@@ -297,6 +319,8 @@ def batched_beam_search(decoder_step_fn, init_caches,
             "r_b": new_rb,
             "caches": caches,
         }
+        if use_cov:
+            new_state["coverage"] = new_cov
         return new_state, None
 
     # Early-exit loop: once every hypothesis in every batch row is
@@ -318,6 +342,11 @@ def batched_beam_search(decoder_step_fn, init_caches,
     final = state["score"]
     if cfg.normalize_final:
         final = final / jnp.maximum(state["length"].astype(jnp.float32), 1.0)
+    if use_cov:
+        valid = make_non_pad_mask(enc_lens, t_len)[:, None, :]   # [B, 1, T]
+        covered = (state["coverage"] > cfg.coverage_tau) & valid
+        final = final + cfg.coverage_weight * covered.sum(-1).astype(
+            jnp.float32)
     order = jnp.argsort(-final, axis=1)
     return {
         "tokens": jnp.take_along_axis(state["tokens"], order[:, :, None], 1),
@@ -348,7 +377,9 @@ def beam_search_transformer(model, params, feats, feat_lens, eos_id: int,
 
     def decoder_step_fn(tokens, step, caches):
         return model.apply({"params": params}, tokens, step, caches, None,
-                           enc_lens_rep, cross_rep, method=model.decoder_step)
+                           enc_lens_rep, cross_rep,
+                           return_attn=cfg.coverage_weight != 0.0,
+                           method=model.decoder_step)
 
     return batched_beam_search(decoder_step_fn, caches, enc_lens,
                                ctc_logits, eos_id, cfg)

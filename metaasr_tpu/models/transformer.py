@@ -57,14 +57,18 @@ def causal_mask_bias(q_len: int, k_len: int, offset: int = 0) -> jax.Array:
     return jnp.where(k <= q + offset, 0.0, NEG_INF)[None, None].astype(jnp.float32)
 
 
-def _attend(q, k, v, mask_bias, dtype):
+def _attend(q, k, v, mask_bias, dtype, return_weights: bool = False):
     """Core attention: fp32 scores/softmax, compute-dtype everything else."""
     dh = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    weights = jax.nn.softmax(scores + mask_bias, axis=-1).astype(dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(dtype))
+    weights = jax.nn.softmax(scores + mask_bias, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(dtype),
+                     v.astype(dtype))
+    if return_weights:
+        return out, weights  # weights fp32 [B, H, Q, K]
+    return out
 
 
 def init_kv_cache(bsz: int, max_len: int, num_heads: int, head_dim: int,
@@ -126,9 +130,14 @@ class CrossAttention(nn.Module):
         return {"k": self.k_proj(enc), "v": self.v_proj(enc)}
 
     def __call__(self, q_in: jax.Array, enc: jax.Array | None,
-                 mask_bias: jax.Array, kv_cache: dict | None = None):
+                 mask_bias: jax.Array, kv_cache: dict | None = None,
+                 return_weights: bool = False):
         q = self.q_proj(q_in)
         kv = kv_cache if kv_cache is not None else self.kv(enc)
+        if return_weights:
+            att, w = _attend(q, kv["k"], kv["v"], mask_bias, self.dtype,
+                             return_weights=True)
+            return self.out(att), w
         return self.out(_attend(q, kv["k"], kv["v"], mask_bias, self.dtype))
 
 
@@ -238,15 +247,26 @@ class DecoderLayer(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(self, x, self_bias, enc, cross_bias, train: bool,
-                 self_cache=None, cache_index=None, cross_kv=None):
+                 self_cache=None, cache_index=None, cross_kv=None,
+                 return_cross_attn: bool = False):
         y, self_cache = self.self_attn(self.norm1(x), self_bias,
                                        cache=self_cache,
                                        cache_index=cache_index)
         x = x + self.drop(y, deterministic=not train)
-        y = self.cross_attn(self.norm2(x), enc, cross_bias, kv_cache=cross_kv)
+        cross_w = None
+        if return_cross_attn:
+            y, cross_w = self.cross_attn(self.norm2(x), enc, cross_bias,
+                                         kv_cache=cross_kv,
+                                         return_weights=True)
+        else:
+            y = self.cross_attn(self.norm2(x), enc, cross_bias,
+                                kv_cache=cross_kv)
         x = x + self.drop(y, deterministic=not train)
         y = self.ff(self.norm3(x), train)
-        return x + self.drop(y, deterministic=not train), self_cache
+        out = x + self.drop(y, deterministic=not train)
+        if return_cross_attn:
+            return out, self_cache, cross_w
+        return out, self_cache
 
     def cross_kv(self, enc):
         return self.cross_attn.kv(enc.astype(self.dtype))
@@ -305,11 +325,16 @@ class Decoder(nn.Module):
         return [layer.cross_kv(enc) for layer in self.layers]
 
     def decode_step(self, tokens, step, caches, enc, enc_lens,
-                    cross_caches=None):
+                    cross_caches=None, return_attn: bool = False):
         """One incremental step: tokens [B, 1] (the last emitted token),
         ``step`` scalar index, fixed-shape caches -> (log_probs [B, V],
         new caches). ``cross_caches`` (from precompute_cross) makes ``enc``
-        optional; enc_lens is always required for the cross mask."""
+        optional; enc_lens is always required for the cross mask.
+
+        ``return_attn``: additionally return the FINAL decoder layer's
+        cross-attention distribution, head-averaged, [B, T_enc] — the
+        coverage signal for the beam search's coverage penalty
+        (SURVEY.md section 2.1 #11 '+ length penalty / coverage')."""
         x = self._embed_pos(tokens, start=step)
         kmax = caches[0]["k"].shape[1]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kmax), 3)
@@ -319,14 +344,25 @@ class Decoder(nn.Module):
         cross_bias = length_mask_bias(enc_lens, t_enc)
         enc_c = enc.astype(self.dtype) if enc is not None else None
         new_caches = []
+        cross_w = None
+        last = len(self.layers) - 1
         for i, (layer, cache) in enumerate(zip(self.layers, caches)):
-            x, cache = layer(
+            want_attn = return_attn and i == last
+            out = layer(
                 x, self_bias, enc_c, cross_bias, train=False,
                 self_cache=cache, cache_index=step,
-                cross_kv=None if cross_caches is None else cross_caches[i])
+                cross_kv=None if cross_caches is None else cross_caches[i],
+                return_cross_attn=want_attn)
+            if want_attn:
+                x, cache, cross_w = out
+            else:
+                x, cache = out
             new_caches.append(cache)
         logits = self.out_proj(self.final_norm(x))[:, 0]  # [B, V]
-        return jax.nn.log_softmax(logits, axis=-1), new_caches
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if return_attn:
+            return logp, new_caches, cross_w.mean(axis=1)[:, 0]  # [B, T_enc]
+        return logp, new_caches
 
 
 class TransformerASR(nn.Module):
@@ -381,6 +417,6 @@ class TransformerASR(nn.Module):
         return self.decoder.precompute_cross(enc)
 
     def decoder_step(self, tokens, step, caches, enc, enc_lens,
-                     cross_caches=None):
+                     cross_caches=None, return_attn: bool = False):
         return self.decoder.decode_step(tokens, step, caches, enc, enc_lens,
-                                        cross_caches)
+                                        cross_caches, return_attn)

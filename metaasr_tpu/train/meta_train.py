@@ -26,7 +26,7 @@ from metaasr_tpu.config import Config
 from metaasr_tpu.data.sampler import TaskSampler, collate, support_query_split
 from metaasr_tpu.decode.greedy import greedy_to_texts
 from metaasr_tpu.meta.maml import MetaAlgoConfig, make_inner_adapt, maml_grads
-from metaasr_tpu.parallel.mesh import replicated, shard_meta_batch
+from metaasr_tpu.parallel.mesh import replicated
 from metaasr_tpu.train.checkpoint import CheckpointManager
 from metaasr_tpu.train.logging import MetricLogger
 from metaasr_tpu.train.metrics import compute_cer, compute_wer
@@ -40,6 +40,11 @@ class MetaTrainState:
     opt_state: tuple
     step: int
     rng: jax.Array
+    # in-state best tracking => preemption-safe best checkpointing
+    # (SURVEY.md section 5.3-5.4): restore() recovers it, so the first
+    # eval after a resume can never overwrite 'best' with a worse model
+    best_metric: jax.Array
+    stale_evals: jax.Array
 
 
 def algo_config(cfg: Config) -> MetaAlgoConfig:
@@ -70,11 +75,20 @@ class MetaASRTrainer:
                                    print_every=cfg.train.log_every)
         m = cfg.meta
         d = cfg.data
+        cap = self._num_samples_cap()
+        s_buckets, u_buckets = (), ()
+        if d.meta_buckets:
+            # caps always present so nothing can overflow its bucket
+            s_buckets = tuple(sorted(
+                {min(f * 160 + 240, cap) for f in d.frame_buckets} | {cap}))
+            u_buckets = tuple(sorted(
+                {min(u, d.max_tokens) for u in d.token_buckets}
+                | {d.max_tokens}))
         self.sampler = TaskSampler(
             accent_datasets, k_support=m.k_support, k_query=m.k_query,
             tasks_per_batch=m.tasks_per_batch,
-            num_samples=self._num_samples_cap(), num_tokens=d.max_tokens,
-            seed=d.seed)
+            num_samples=cap, num_tokens=d.max_tokens,
+            seed=d.seed, sample_buckets=s_buckets, token_buckets=u_buckets)
         self._grad_fn = maml_grads(self.task.loss_fn, algo_config(cfg),
                                    preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
@@ -106,10 +120,24 @@ class MetaASRTrainer:
         store_np, self._offsets = build_resident_store(
             self.accent_datasets, self._num_samples_cap(), d.max_tokens)
         self._store = jax.device_put(store_np)
+        self._resident_step_cache = {}
+
+    def _jit_step_resident(self, shape: tuple[int, int]):
+        """Jitted resident step for one (num_samples, num_tokens) bucket:
+        the store stays padded at the caps; after the on-device gather the
+        batch is statically sliced down to the bucket shape, so the math
+        runs at bucket size while the corpus lives on device once."""
+        cached = self._resident_step_cache.get(shape)
+        if cached is not None:
+            return cached
+        n_samples, n_tokens = shape
 
         def step(state: MetaTrainState, store: dict, sup_idx, qry_idx):
             def gather(idx):
-                return {k: v[idx] for k, v in store.items()}
+                b = {k: v[idx] for k, v in store.items()}
+                b["audio"] = b["audio"][:, :, :n_samples]
+                b["tokens"] = b["tokens"][:, :, :n_tokens]
+                return b
 
             meta_batch = {"support": gather(sup_idx),
                           "query": gather(qry_idx)}
@@ -120,16 +148,19 @@ class MetaASRTrainer:
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["grad_norm"] = optax.global_norm(grads)
-            return MetaTrainState(params=params, opt_state=opt_state,
-                                  step=state.step + 1, rng=state.rng), metrics
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1), metrics
 
-        self._jit_step_resident = jax.jit(step, donate_argnums=0)
+        fn = jax.jit(step, donate_argnums=0)
+        self._resident_step_cache[shape] = fn
+        return fn
 
     def _resident_indices(self, step: int):
         accents, sup, qry = self.sampler.sample_indices(step)
+        shape = self.sampler.step_shape(accents, sup, qry)
         off = np.asarray([self._offsets[a] for a in accents],
                          dtype=np.int32)[:, None]
-        return sup + off, qry + off
+        return sup + off, qry + off, shape
 
     def _num_samples_cap(self) -> int:
         # max_frames is a feature-frame cap; convert to raw samples
@@ -144,8 +175,8 @@ class MetaASRTrainer:
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["grad_norm"] = optax.global_norm(grads)
-            return MetaTrainState(params=params, opt_state=opt_state,
-                                  step=state.step + 1, rng=state.rng), metrics
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1), metrics
 
         if self.mesh is not None:
             state_sh = replicated(self.mesh)
@@ -161,9 +192,11 @@ class MetaASRTrainer:
         mb = self.sampler.sample()
         sample = {k: v[0] for k, v in mb["support"].items() if k != "texts"}
         params = self.task.init_params(rng, sample)
+        from metaasr_tpu.train.mono import init_track
+
         return MetaTrainState(params=params,
                               opt_state=self.optimizer.init(params),
-                              step=0, rng=rng)
+                              step=0, rng=rng, **init_track())
 
     def _batch_feed(self, start_step: int, max_steps: int):
         """Prefetching iterator of device-ready meta batches.
@@ -172,15 +205,32 @@ class MetaASRTrainer:
         can rival the device step time, so a producer thread builds the
         NEXT batches while the device runs the current one. Batches stay a
         pure function of (seed, step), so prefetching changes nothing
-        about determinism or resume (SURVEY.md section 5.3)."""
+        about determinism or resume (SURVEY.md section 5.3).
+
+        Multi-host pods (SURVEY.md section 5.8, section 7 M7): every host
+        draws the same global (seed, step) sample but collates ONLY its
+        own task rows; ``make_global_meta_batch`` assembles the
+        globally-sharded arrays from the per-host local data. Single-host
+        this degenerates to a plain sharded device_put.
+        """
         import queue
         import threading
+
+        from metaasr_tpu.parallel.distributed import (
+            host_local_slice,
+            make_global_meta_batch,
+        )
+        from metaasr_tpu.parallel.mesh import meta_batch_shardings
+
+        multihost = self.mesh is not None and jax.process_count() > 1
+        rows = (host_local_slice(self.cfg.meta.tasks_per_batch)
+                if multihost else None)
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def produce():
             for step in range(start_step, max_steps):
-                mb = self.sampler.sample(step)
+                mb = self.sampler.sample(step, rows=rows)
                 q.put({s: {k: v for k, v in mb[s].items() if k != "texts"}
                        for s in ("support", "query")})
             q.put(None)
@@ -196,8 +246,8 @@ class MetaASRTrainer:
             if self.mesh is None:
                 batch = jax.device_put(batch)
             else:
-                batch = shard_meta_batch(self.mesh, {"support": batch["support"],
-                                                     "query": batch["query"]})
+                batch = make_global_meta_batch(
+                    self.mesh, batch, meta_batch_shardings(self.mesh))
             yield batch
 
     def meta_train(self, max_steps: int | None = None) -> MetaTrainState:
@@ -205,7 +255,6 @@ class MetaASRTrainer:
         max_steps = max_steps or cfg.max_steps
         state = self.init_state()
         state, _ = self.ckpt.restore(state)
-        best = float("inf")
         t0 = time.time()
         utts = 0
         self._setup_resident()
@@ -216,8 +265,8 @@ class MetaASRTrainer:
             feed = self._batch_feed(int(state.step), max_steps)
         for batch in feed:
             if self._store is not None:
-                sup_idx, qry_idx = batch
-                state, metrics = self._jit_step_resident(
+                sup_idx, qry_idx, shape = batch
+                state, metrics = self._jit_step_resident(shape)(
                     state, self._store, sup_idx, qry_idx)
             else:
                 state, metrics = self._jit_step(state, batch)
@@ -234,10 +283,18 @@ class MetaASRTrainer:
             if step % cfg.eval_every == 0 and self.heldout_datasets:
                 scores = self.eval_heldout(state.params)
                 self.logger.log(step, scores)
-                key = scores.get("heldout_wer_mean", 1e9)
-                is_best = key < best
-                best = min(best, key)
+                cur = scores.get("heldout_wer_mean", 1e9)
+                best = float(state.best_metric)
+                is_best = cur < best
+                stale = 0 if is_best else int(state.stale_evals) + 1
+                state = state.replace(
+                    best_metric=np.asarray(min(cur, best), np.float32),
+                    stale_evals=np.asarray(stale, np.int32))
                 self.ckpt.save(step, state, scores, is_best=is_best)
+                if (cfg.early_stop_patience
+                        and stale >= cfg.early_stop_patience):
+                    self.logger.log(step, {"early_stop": 1.0})
+                    break
             elif step % cfg.ckpt_every == 0:
                 self.ckpt.save(step, state)
         self.ckpt.save(int(state.step), state)
@@ -292,21 +349,21 @@ class MetaASRTrainer:
         indices = indices[:max_utts]
         hyps, refs = [], []
         bsz = self.cfg.data.batch_size
+        from metaasr_tpu.data.sampler import item_samples
         from metaasr_tpu.utils.padding import bucket_length
 
         buckets = tuple(sorted({bucket_length(
-            len(dataset[j]["audio"]), (16000, 32000, 64000, 128000, 256000))
+            item_samples(dataset[j]), (16000, 32000, 64000, 128000, 256000))
             for j in indices}))
         for i in range(0, len(indices), bsz):
             items = [dataset[j] for j in indices[i: i + bsz]]
-            smax = bucket_length(max(len(it["audio"]) for it in items), buckets)
+            smax = bucket_length(max(item_samples(it) for it in items),
+                                 buckets)
             batch = collate(items, smax, self.cfg.data.max_tokens)
             if mode == "beam" and self.task.arch == "transformer":
                 hyps.extend(self._beam_decode_batch(params, batch))
             else:
-                packed, out_lens = self.task.greedy_ctc(
-                    params, batch["audio"], batch["audio_lens"],
-                    batch.get("cmvn_mean"), batch.get("cmvn_std"))
+                packed, out_lens = self.task.greedy_batch(params, batch)
                 hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
@@ -323,10 +380,19 @@ class MetaASRTrainer:
         cfg = BeamSearchConfig(beam_size=t.beam_size,
                                max_len=self.cfg.data.max_tokens,
                                ctc_weight=t.decode_ctc_weight,
-                               length_penalty=t.length_penalty)
-        feats, feat_lens = self.task.features(
-            jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]),
-            cmvn_mean=batch.get("cmvn_mean"), cmvn_std=batch.get("cmvn_std"))
+                               length_penalty=t.length_penalty,
+                               ctc_candidates=t.ctc_candidates,
+                               normalize_final=t.normalize_final,
+                               coverage_weight=t.coverage_weight,
+                               coverage_tau=t.coverage_tau)
+        if "feats" in batch:
+            feats = jnp.asarray(batch["feats"])
+            feat_lens = jnp.asarray(batch["feat_lens"])
+        else:
+            feats, feat_lens = self.task.features(
+                jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]),
+                cmvn_mean=batch.get("cmvn_mean"),
+                cmvn_std=batch.get("cmvn_std"))
         out = self._jit_beam(cfg)(params, feats, feat_lens)
         toks = np.asarray(out["tokens"])
         lens = np.asarray(out["lengths"])
@@ -350,14 +416,19 @@ class MetaASRTrainer:
             self._beam_cache[key] = jax.jit(run)
         return self._beam_cache[key]
 
-    def eval_heldout(self, params, max_utts: int = 50) -> dict:
-        """5-shot adapt + decode on every held-out accent
-        (the headline metric, BASELINE.json:2)."""
+    def eval_heldout(self, params, max_utts: int | None = None) -> dict:
+        """5-shot adapt + decode on every held-out accent (the headline
+        metric, BASELINE.json:2). Decode mode follows
+        cfg.train.eval_decode_mode so best-checkpoint selection tracks the
+        same metric RESULTS reports (beam by default for transformers)."""
         out = {}
         wers = []
+        max_utts = max_utts or self.cfg.train.eval_max_utts
+        mode = self.cfg.train.eval_decode_mode
         for name, ds in self.heldout_datasets.items():
             adapted, test_idx = self.meta_adapt(params, ds)
-            scores = self.decode(adapted, ds, test_idx, max_utts=max_utts)
+            scores = self.decode(adapted, ds, test_idx, max_utts=max_utts,
+                                 mode=mode)
             out[f"heldout_{name}_wer"] = scores["wer"]
             out[f"heldout_{name}_cer"] = scores["cer"]
             wers.append(scores["wer"])

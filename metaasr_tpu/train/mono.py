@@ -12,7 +12,6 @@ bounded jit cache); params donated to avoid copies.
 
 from __future__ import annotations
 
-import itertools
 import time
 
 import jax
@@ -20,7 +19,8 @@ import optax
 from flax import struct
 
 from metaasr_tpu.config import Config
-from metaasr_tpu.data.sampler import BucketBatcher, collate
+from metaasr_tpu.data.sampler import BucketBatcher, collate, item_samples
+from metaasr_tpu.utils.padding import bucket_length
 from metaasr_tpu.decode.greedy import greedy_to_texts
 from metaasr_tpu.train.checkpoint import CheckpointManager
 from metaasr_tpu.train.logging import MetricLogger
@@ -35,6 +35,20 @@ class TrainState:
     opt_state: tuple
     step: int
     rng: jax.Array
+    # best-checkpoint tracking lives IN the checkpointed state so resume
+    # after preemption never overwrites 'best' with a worse model
+    # (SURVEY.md section 5.3-5.4)
+    best_metric: jax.Array
+    stale_evals: jax.Array
+
+
+def init_track() -> dict:
+    import numpy as np
+
+    # 0-d ndarrays (not numpy scalars): orbax StandardSave requires
+    # array-like leaves
+    return {"best_metric": np.asarray(np.inf, np.float32),
+            "stale_evals": np.asarray(0, np.int32)}
 
 
 def device_batch(batch: dict) -> dict:
@@ -58,7 +72,7 @@ class MonoASRTrainer:
                                    print_every=cfg.train.log_every)
         self.batcher = BucketBatcher(
             self.train_datasets, cfg.data.batch_size,
-            seed=cfg.data.seed)
+            seed=cfg.data.seed, tokenizer=tokenizer)
         self._jit_step = jax.jit(self._train_step, donate_argnums=0)
 
     def init_state(self, batch=None) -> TrainState:
@@ -68,31 +82,38 @@ class MonoASRTrainer:
         params = self.task.init_params(rng, device_batch(batch))
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),
-                          step=0, rng=rng)
+                          step=0, rng=rng, **init_track())
 
     def _train_step(self, state: TrainState, batch: dict):
         rng = jax.random.fold_in(state.rng, state.step)
+        p_rng, l_rng = jax.random.split(rng)
+        # preprocess owns augmentation for BOTH payload modes (raw audio:
+        # fbank+CMVN+SpecAugment; precomputed feats: SpecAugment only)
+        fb = self.task.preprocess(batch, p_rng, True)
         (loss, metrics), grads = jax.value_and_grad(
-            self.task.loss_fn, has_aux=True)(state.params, batch, rng, True)
+            self.task.loss_fn, has_aux=True)(state.params, fb, l_rng, True)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1, rng=state.rng)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     def train(self, max_steps: int | None = None) -> TrainState:
+        import numpy as np
+
         cfg = self.cfg.train
         max_steps = max_steps or cfg.max_steps
         state = self.init_state()
         state, _restored_step = self.ckpt.restore(state)
-        best_metric = float("inf")
-        stale_evals = 0
-        data = itertools.chain.from_iterable(iter(self.batcher) for _ in itertools.count())
+        # best checkpointing tracks cfg.keep_best_metric ("dev_wer"/"dev_cer")
+        metric_key = cfg.keep_best_metric.removeprefix("dev_")
         t0, utts = time.time(), 0
-        for batch in data:
+        # data order is a pure function of (seed, epoch, batch index), so
+        # resuming at state.step replays the exact stream (SURVEY.md 5.3)
+        for batch in self.batcher.iter_from(int(state.step)):
             if int(state.step) >= max_steps:
                 break
             state, metrics = self._jit_step(
@@ -108,14 +129,15 @@ class MonoASRTrainer:
             if step % cfg.eval_every == 0 and self.dev_dataset is not None:
                 dev = self.evaluate(state.params, self.dev_dataset)
                 self.logger.log(step, {f"dev_{k}": v for k, v in dev.items()})
-                is_best = dev.get("cer", dev.get("wer", 1e9)) < best_metric
-                if is_best:
-                    best_metric = dev.get("cer", dev.get("wer", 1e9))
-                    stale_evals = 0
-                else:
-                    stale_evals += 1
+                cur = dev.get(metric_key, dev.get("wer", 1e9))
+                best = float(state.best_metric)
+                is_best = cur < best
+                stale = 0 if is_best else int(state.stale_evals) + 1
+                state = state.replace(
+                    best_metric=np.asarray(min(cur, best), np.float32),
+                    stale_evals=np.asarray(stale, np.int32))
                 self.ckpt.save(step, state, dev, is_best=is_best)
-                if cfg.early_stop_patience and stale_evals >= cfg.early_stop_patience:
+                if cfg.early_stop_patience and stale >= cfg.early_stop_patience:
                     self.logger.log(step, {"early_stop": 1.0})
                     break
             elif step % cfg.ckpt_every == 0:
@@ -126,18 +148,19 @@ class MonoASRTrainer:
 
     def evaluate(self, params, dataset, max_utts: int = 200) -> dict:
         """Greedy-CTC dev scoring (CER/WER) — the reference's per-epoch
-        dev metric (SURVEY.md section 3.4)."""
+        dev metric (SURVEY.md section 3.4). Batch shapes snap to the
+        training bucket set so the jitted decode never retraces per batch."""
         hyps, refs = [], []
         bsz = self.cfg.data.batch_size
         idx = list(range(min(len(dataset), max_utts)))
         for i in range(0, len(idx), bsz):
             items = [dataset[j] for j in idx[i: i + bsz]]
-            smax = max(1, max(len(it["audio"]) for it in items))
-            umax = max(1, max(len(it["tokens"]) for it in items))
+            smax = bucket_length(max(item_samples(it) for it in items),
+                                 self.batcher.sample_buckets)
+            umax = bucket_length(max(len(it["tokens"]) for it in items),
+                                 self.batcher.token_buckets)
             batch = collate(items, smax, umax)
-            packed, out_lens = self.task.greedy_ctc(
-                params, batch["audio"], batch["audio_lens"],
-                batch.get("cmvn_mean"), batch.get("cmvn_std"))
+            packed, out_lens = self.task.greedy_batch(params, batch)
             hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
         # decoded text samples (SURVEY.md section 2.1 #19)
@@ -165,12 +188,9 @@ def quick_eval_cer(task: ASRTask, params, dataset, tokenizer,
     idx = list(range(min(len(dataset), max_utts)))
     for i in range(0, len(idx), batch_size):
         items = [dataset[j] for j in idx[i: i + batch_size]]
-        smax = max(1, max(len(it["audio"]) for it in items))
+        smax = max(1, max(item_samples(it) for it in items))
         batch = collate(items, smax, 8)
-        packed, out_lens = task.greedy_ctc(params, batch["audio"],
-                                           batch["audio_lens"],
-                                           batch.get("cmvn_mean"),
-                                           batch.get("cmvn_std"))
+        packed, out_lens = task.greedy_batch(params, batch)
         hyps.extend(greedy_to_texts(packed, out_lens, tokenizer))
         refs.extend(batch["texts"])
     return compute_cer(hyps, refs)

@@ -121,6 +121,9 @@ class ASRTask:
             cm = "utterance" if f.cmvn == "speaker" else f.cmvn
             feats, feat_lens = self._raw_fbank(audio, audio_lens, rng, train,
                                                cmvn=cm)
+        return self._maybe_specaug(feats, feat_lens, rng, train), feat_lens
+
+    def _maybe_specaug(self, feats, feat_lens, rng, train: bool):
         if train and self.cfg.specaug.enabled and rng is not None:
             sa = self.cfg.specaug
             feats = spec_augment(
@@ -129,8 +132,9 @@ class ASRTask:
                 freq_mask_width=sa.freq_mask_width,
                 num_time_masks=sa.num_time_masks,
                 time_mask_width=sa.time_mask_width,
-                time_mask_max_ratio=sa.time_mask_max_ratio)
-        return feats, feat_lens
+                time_mask_max_ratio=sa.time_mask_max_ratio,
+                time_warp=sa.time_warp)
+        return feats
 
     def _raw_fbank(self, audio, audio_lens, rng, train, cmvn: str):
         f = self.cfg.frontend
@@ -152,7 +156,11 @@ class ASRTask:
     # ---------- init ----------
 
     def init_params(self, rng, batch):
-        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"])
+        if "feats" in batch:
+            feats, feat_lens = batch["feats"], batch["feat_lens"]
+        else:
+            feats, feat_lens = self.features(batch["audio"],
+                                             batch["audio_lens"])
         p_rng, d_rng = jax.random.split(rng)
         if self.arch == "vgg_blstm":
             return self.model.init({"params": p_rng, "dropout": d_rng},
@@ -169,11 +177,18 @@ class ASRTask:
         """Audio batch -> feature batch (fbank + CMVN + SpecAugment).
         In meta-training this runs ONCE per task batch, outside the inner
         loop (maml.make_meta_loss preprocess_fn) — the reference applies
-        its front-end at load time (SURVEY.md section 3.1)."""
-        feats, feat_lens = self.features(batch["audio"], batch["audio_lens"],
-                                         rng, train,
-                                         cmvn_mean=batch.get("cmvn_mean"),
-                                         cmvn_std=batch.get("cmvn_std"))
+        its front-end at load time (SURVEY.md section 3.1). Precomputed-
+        feature batches pass through (SpecAugment still applies in
+        training, matching the reference's offline-extraction mode)."""
+        if "feats" in batch:
+            feats = self._maybe_specaug(batch["feats"], batch["feat_lens"],
+                                        rng, train)
+            feat_lens = batch["feat_lens"]
+        else:
+            feats, feat_lens = self.features(
+                batch["audio"], batch["audio_lens"], rng, train,
+                cmvn_mean=batch.get("cmvn_mean"),
+                cmvn_std=batch.get("cmvn_std"))
         return {"feats": feats, "feat_lens": feat_lens,
                 "tokens": batch["tokens"], "token_lens": batch["token_lens"]}
 
@@ -185,6 +200,10 @@ class ASRTask:
             rng = jax.random.PRNGKey(0)
         f_rng, d_rng = jax.random.split(rng)
         if "feats" in batch:
+            # contract: augmentation is preprocess()'s job — feature
+            # batches arriving here (from preprocess, or collated
+            # precomputed features routed through preprocess by the
+            # trainers) are used as-is, so nothing augments twice
             feats, feat_lens = batch["feats"], batch["feat_lens"]
         else:
             feats, feat_lens = self.features(batch["audio"],
@@ -216,11 +235,18 @@ class ASRTask:
     @partial(jax.jit, static_argnums=0)
     def greedy_ctc(self, params, audio, audio_lens, cmvn_mean=None,
                    cmvn_std=None):
-        from metaasr_tpu.decode.greedy import ctc_greedy_decode
-
         feats, feat_lens = self.features(audio, audio_lens,
                                          cmvn_mean=cmvn_mean,
                                          cmvn_std=cmvn_std)
+        return self._greedy_from_feats(params, feats, feat_lens)
+
+    @partial(jax.jit, static_argnums=0)
+    def greedy_ctc_feats(self, params, feats, feat_lens):
+        return self._greedy_from_feats(params, feats, feat_lens)
+
+    def _greedy_from_feats(self, params, feats, feat_lens):
+        from metaasr_tpu.decode.greedy import ctc_greedy_decode
+
         if self.arch == "vgg_blstm":
             logits, out_lens = self.model.apply({"params": params}, feats,
                                                 feat_lens, False)
@@ -229,6 +255,14 @@ class ASRTask:
                 {"params": params}, feats, feat_lens, False,
                 method=self.model.ctc_logits_only)
         return ctc_greedy_decode(logits, out_lens)
+
+    def greedy_batch(self, params, batch):
+        """Greedy CTC on a collated batch, either payload mode."""
+        if "feats" in batch:
+            return self.greedy_ctc_feats(params, batch["feats"],
+                                         batch["feat_lens"])
+        return self.greedy_ctc(params, batch["audio"], batch["audio_lens"],
+                               batch.get("cmvn_mean"), batch.get("cmvn_std"))
 
     def frame_cap(self, num_samples: int) -> int:
         return num_frames(num_samples)

@@ -281,3 +281,26 @@ def test_length_normalized_final_ranking(rng):
         ns = np.asarray(norm["scores"][b]) / np.maximum(
             np.asarray(norm["lengths"][b]).astype(float), 1.0)
         assert (np.diff(ns) <= 1e-6).all()
+
+def test_coverage_penalty_reranks_and_preserves_set(rng):
+    """coverage_weight != 0 threads cross-attention coverage through the
+    search: same hypothesis set (scores/lengths), ranking by
+    score + w * covered-frame count; coverage never exceeds the valid
+    frame count."""
+    model, params, feats, lens = _model_and_inputs(rng)
+    base = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3))
+    cov = beam_search_transformer(
+        model, params, feats, lens, EOS,
+        BeamSearchConfig(beam_size=3, max_len=5, ctc_weight=0.3,
+                         coverage_weight=0.05, coverage_tau=0.1))
+    for b in range(feats.shape[0]):
+        base_set = {(round(float(s), 4), int(l))
+                    for s, l in zip(np.asarray(base["scores"][b]),
+                                    np.asarray(base["lengths"][b]))}
+        cov_set = {(round(float(s), 4), int(l))
+                   for s, l in zip(np.asarray(cov["scores"][b]),
+                                   np.asarray(cov["lengths"][b]))}
+        assert base_set == cov_set
+    assert np.asarray(cov["scores"]).max() > NEG / 2

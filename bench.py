@@ -85,7 +85,7 @@ def measure_jax(steps: int = 20) -> float:
     opt_state = optimizer.init(params)
     grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
         inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
-        remat_inner=True), preprocess_fn=task.preprocess)
+        remat_inner=True, unroll_inner=True), preprocess_fn=task.preprocess)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, mb, key):

@@ -104,6 +104,9 @@ class MetaConfig:
     tasks_per_batch: int = 4       # accents per meta-batch
     adapt_steps: int = 5           # k-shot adaptation steps at meta-test
     remat_inner: bool = True       # jax.checkpoint each inner step (MAML memory)
+    unroll_inner: bool = True      # unroll the inner lax.scan (avoids XLA
+                                   # while-carry copies of the per-task param
+                                   # tree; +14% meta-step on v5e at 3 steps)
 
 
 @dataclass

@@ -54,6 +54,12 @@ class MetaAlgoConfig:
     inner_steps: int = 3
     first_order: bool = True
     remat_inner: bool = True
+    # fully unroll the inner lax.scan: the scanned form keeps the whole
+    # per-task parameter tree as a while-loop carry, which XLA double-
+    # buffers (measured ~3.6 ms/step of carry copies at the bench shapes);
+    # unrolling lets updates fuse into consumers. Costs compile time
+    # proportional to inner_steps — sensible for the usual 3-5 steps.
+    unroll_inner: bool = False
 
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
@@ -90,7 +96,9 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
 
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
             jnp.arange(cfg.inner_steps))
-        params, losses = jax.lax.scan(body, params, rngs)
+        params, losses = jax.lax.scan(body, params, rngs,
+                                      unroll=cfg.inner_steps
+                                      if cfg.unroll_inner else 1)
         return params, losses
 
     return inner_adapt

@@ -179,7 +179,16 @@ class EncoderLayer(nn.Module):
 
 
 class Conv2dSubsampling(nn.Module):
-    """Two stride-2 3x3 convs over [B, T, D, 1] => T/4, D/4, then linear."""
+    """Two stride-2 3x3 convs over [B, T, D, 1] => T/4, D/4, then linear.
+
+    Kept as XLA's native convolution: two rewrites were benchmarked on a
+    real v5e against the FOMAML grad-eval (16 utts, 4 s audio, d=256) and
+    BOTH lost — tap-sum-of-9-matmuls (6.46 -> 9.08 ms: the slice VJPs
+    emit 9 full-size pad ops) and space-to-depth phase packing into a
+    dense 2x2 stride-1 conv (6.46 -> 8.11 ms: the pack/unpack transposes
+    plus XLA's own re-layout outweigh the MXU-friendlier K). XLA's
+    stride-2 conv lowering is already near the shape's roofline here.
+    """
 
     d_model: int
     dtype: Any = jnp.float32

@@ -54,7 +54,8 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo == "fomaml"),
-                          remat_inner=cfg.meta.remat_inner)
+                          remat_inner=cfg.meta.remat_inner,
+                          unroll_inner=cfg.meta.unroll_inner)
 
 
 class MetaASRTrainer:
@@ -327,7 +328,8 @@ class MetaASRTrainer:
             inner = make_inner_adapt(
                 self.task.loss_fn,
                 MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
-                               first_order=True, remat_inner=False),
+                               first_order=True, remat_inner=False,
+                               unroll_inner=m.unroll_inner),
                 train=True)
 
             def adapt(p, b, r):

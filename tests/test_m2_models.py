@@ -63,6 +63,31 @@ def test_vgg_blstm_shapes_and_padding_invariance(rng):
                                np.asarray(logits2[1, :5]), rtol=1e-4, atol=1e-5)
 
 
+def test_subsampling_conv_matches_dense_window_oracle(rng):
+    """Conv2dSubsampling's stride-2 VALID convs vs a direct dense-window
+    numpy oracle (guards any future re-implementation of the subsampling
+    front — see the module docstring for rewrites that were tried and
+    reverted). nn.Conv's CPU lowering sits a few 1e-3 off the oracle, so
+    the tolerance is loose."""
+    import flax.linen as nn_
+
+    for c_in in (1, 16):
+        x = np.asarray(rng.standard_normal((2, 21, 19, c_in)), np.float32)
+        mod = nn_.Conv(24, (3, 3), strides=(2, 2), padding="VALID")
+        p = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y = np.asarray(mod.apply(p, jnp.asarray(x)))
+        k = np.asarray(p["params"]["kernel"])
+        b = np.asarray(p["params"]["bias"])
+        tp, fp = (21 - 3) // 2 + 1, (19 - 3) // 2 + 1
+        assert y.shape == (2, tp, fp, 24)
+        oracle = np.zeros_like(y)
+        for t in range(tp):
+            for f in range(fp):
+                patch = x[:, 2 * t:2 * t + 3, 2 * f:2 * f + 3, :]
+                oracle[:, t, f] = np.einsum("bijc,ijco->bo", patch, k) + b
+        np.testing.assert_allclose(y, oracle, rtol=2e-2, atol=2e-2)
+
+
 def test_transformer_shapes_and_padding_invariance(rng):
     model = TransformerASR(vocab_size=12, d_model=32, num_heads=2, d_ff=64,
                            num_encoder_layers=2, num_decoder_layers=2,

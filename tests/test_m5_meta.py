@@ -77,6 +77,28 @@ def test_maml_second_order_gradient_analytic():
     np.testing.assert_allclose(ratio, (1 - lr) ** k, rtol=1e-4)
 
 
+def test_unrolled_inner_loop_matches_scan():
+    """unroll_inner is a pure scheduling change (it removes XLA while-carry
+    copies of the param tree); meta-gradients must be bit-identical to the
+    scanned form for BOTH first- and second-order."""
+    rng = np.random.default_rng(3)
+    mb = {"support": {"c": jnp.asarray(rng.standard_normal((3, 5)), jnp.float32)},
+          "query": {"c": jnp.asarray(rng.standard_normal((3, 5)), jnp.float32)}}
+    params = {"w": jnp.asarray(rng.standard_normal(5), jnp.float32)}
+    for fo in (True, False):
+        g_scan, m_scan = maml_grads(
+            quad_loss,
+            MetaAlgoConfig(0.1, 4, fo, True, unroll_inner=False))(
+                params, mb, jax.random.PRNGKey(0))
+        g_unr, m_unr = maml_grads(
+            quad_loss,
+            MetaAlgoConfig(0.1, 4, fo, True, unroll_inner=True))(
+                params, mb, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(g_scan["w"]),
+                                      np.asarray(g_unr["w"]))
+        assert float(m_scan["meta_loss"]) == float(m_unr["meta_loss"])
+
+
 def test_task_vmap_averaging():
     """Outer grad over M tasks == mean of per-task outer grads."""
     rng = np.random.default_rng(3)

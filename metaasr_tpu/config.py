@@ -156,6 +156,9 @@ class TrainConfig:
     log_every: int = 100
     ckpt_every: int = 1000
     ckpt_dir: str = "ckpts"
+    # latest checkpoints retained (best is kept separately); must be
+    # >= the N used with --avg-last model averaging
+    keep_ckpts: int = 5
     keep_best_metric: str = "dev_wer"
     seed: int = 0
     beam_size: int = 10

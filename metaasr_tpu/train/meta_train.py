@@ -71,7 +71,8 @@ class MetaASRTrainer:
             # second-order: grad-of-grad needs a fully differentiable CTC
             task.require_full_autodiff()
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
-        self.ckpt = CheckpointManager(f"{workdir}/ckpts")
+        self.ckpt = CheckpointManager(f"{workdir}/ckpts",
+                              keep=cfg.train.keep_ckpts)
         self.logger = MetricLogger(f"{workdir}/logs",
                                    print_every=cfg.train.log_every)
         m = cfg.meta

@@ -67,7 +67,8 @@ class MonoASRTrainer:
                                else [train_datasets])
         self.dev_dataset = dev_dataset
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
-        self.ckpt = CheckpointManager(f"{workdir}/ckpts")
+        self.ckpt = CheckpointManager(f"{workdir}/ckpts",
+                              keep=cfg.train.keep_ckpts)
         self.logger = MetricLogger(f"{workdir}/logs",
                                    print_every=cfg.train.log_every)
         self.batcher = BucketBatcher(

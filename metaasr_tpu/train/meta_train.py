@@ -265,6 +265,12 @@ class MetaASRTrainer:
                     for s in range(int(state.step), max_steps))
         else:
             feed = self._batch_feed(int(state.step), max_steps)
+        # host-side step mirror: reading state.step back would force a
+        # device sync EVERY step (the dispatch pipeline then stalls at
+        # one-step depth — measured 550-950 utts/s vs ~2270 for the pure
+        # device loop). With the mirror, the host runs ahead and only the
+        # log_every metrics fetch synchronizes.
+        step = int(state.step)
         for batch in feed:
             if self._store is not None:
                 sup_idx, qry_idx, shape = batch
@@ -275,7 +281,7 @@ class MetaASRTrainer:
             utts += (self.cfg.meta.tasks_per_batch
                      * (self.cfg.meta.k_support * self.cfg.meta.inner_steps
                         + self.cfg.meta.k_query))
-            step = int(state.step)
+            step += 1
             if step % cfg.log_every == 0:
                 dt = time.time() - t0
                 out = {k: float(np.asarray(v)) for k, v in metrics.items()}

@@ -114,13 +114,17 @@ class MonoASRTrainer:
         t0, utts = time.time(), 0
         # data order is a pure function of (seed, epoch, batch index), so
         # resuming at state.step replays the exact stream (SURVEY.md 5.3)
-        for batch in self.batcher.iter_from(int(state.step)):
-            if int(state.step) >= max_steps:
+        # host-side step mirror — reading state.step back each iteration
+        # would sync the device per step and stall the dispatch pipeline
+        # (see MetaASRTrainer.meta_train)
+        step = int(state.step)
+        for batch in self.batcher.iter_from(step):
+            if step >= max_steps:
                 break
             state, metrics = self._jit_step(
                 state, jax.device_put(device_batch(batch)))
             utts += len(batch["texts"])
-            step = int(state.step)
+            step += 1
             if step % cfg.log_every == 0:
                 dt = time.time() - t0
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -130,13 +130,28 @@ def _ctc_pallas(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
 
 
 BATCH_BLOCK = 8  # fp32 sublane size — middle block dim must be 8-divisible
+MAX_BATCH_BLOCK = 32
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def fits_vmem(t_len: int, s_pad: int) -> bool:
-    """3 copies of [T, 8, S_pad] fp32 (logp block, alpha scratch, grad
+def fits_vmem(t_len: int, s_pad: int, bb: int = BATCH_BLOCK) -> bool:
+    """3 copies of [T, bb, S_pad] fp32 (logp block, alpha scratch, grad
     block) must fit the VMEM budget."""
-    return 3 * t_len * BATCH_BLOCK * s_pad * 4 <= VMEM_BUDGET
+    return 3 * t_len * bb * s_pad * 4 <= VMEM_BUDGET
+
+
+def pick_batch_block(bsz: int, t_len: int, s_pad: int) -> int:
+    """Largest batch block (multiple of the fp32 sublane 8, capped) that
+    fits VMEM. Grid steps run SEQUENTIALLY on a TPU core and each runs
+    2*T loop iterations, so fewer/wider blocks win: the per-iteration
+    [bb, S_pad] VPU ops pipeline without loop overhead (measured 2.0x
+    kernel speedup for bb 8 -> 16 at the bench shapes, 1.23 -> 0.63 ms
+    for fwd+bwd at [16, 99, 30]). Wider blocks can
+    pad the batch (ceil division) — still fewer total iterations."""
+    bb = min(MAX_BATCH_BLOCK, _round_up(bsz, BATCH_BLOCK))
+    while bb > BATCH_BLOCK and not fits_vmem(t_len, s_pad, bb):
+        bb -= BATCH_BLOCK
+    return bb
 
 
 def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
@@ -145,7 +160,7 @@ def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
     end = end_f.astype(jnp.int32)
     bsz, t_dim, s_pad = logp_z.shape
     assert t_dim == t_len
-    bb = BATCH_BLOCK
+    bb = pick_batch_block(bsz, t_len, s_pad)
     lp_t = jnp.moveaxis(logp_z, 1, 0)                        # [T, B, S_pad]
     b_pad = _round_up(bsz, bb)
     if b_pad != bsz:

@@ -78,3 +78,37 @@ def test_average_checkpoints(tmp_path):
     avg2 = average_checkpoints(mgr, tmpl, last_n=2)
     np.testing.assert_allclose(np.asarray(avg2["w"]), 4.0)
     mgr.close()
+
+
+def test_checkpoint_keep_ring(tmp_path):
+    """keep=N retains the last N latest checkpoints (needed for
+    --avg-last N model averaging; train.keep_ckpts config)."""
+    mgr = CheckpointManager(str(tmp_path / "ring"), keep=3)
+    for i in range(1, 6):
+        mgr.save(i, {"w": jnp.full(2, float(i))})
+    mgr.wait()
+    steps = sorted(mgr._mgr.all_steps())
+    assert steps == [3, 4, 5]
+    mgr.close()
+
+
+def test_ctc_pallas_batch_block_selection():
+    """pick_batch_block: sublane-aligned, capped, VMEM-bounded."""
+    from metaasr_tpu.ops.ctc_pallas import (
+        BATCH_BLOCK,
+        MAX_BATCH_BLOCK,
+        fits_vmem,
+        pick_batch_block,
+    )
+
+    assert pick_batch_block(3, 100, 128) == 8
+    assert pick_batch_block(16, 100, 128) == 16
+    assert pick_batch_block(40, 100, 128) == 32   # pad 40 -> 64, 2 blocks
+    assert pick_batch_block(1000, 100, 128) == MAX_BATCH_BLOCK
+    # long T: wide blocks exceed VMEM, shrinks toward the sublane block
+    assert pick_batch_block(32, 500, 128) == 16
+    assert pick_batch_block(32, 700, 128) == BATCH_BLOCK
+    assert fits_vmem(700, 128, BATCH_BLOCK)
+    # extreme T: even the minimum block overflows VMEM -> caller falls
+    # back to the scan backend (ctc_forward_pallas checks fits_vmem)
+    assert not fits_vmem(7000, 128)

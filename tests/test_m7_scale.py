@@ -93,3 +93,21 @@ def test_meta_trainer_with_mesh(synthetic_data_dir, tmp_path):
                              tok, str(tmp_path), mesh=mesh)
     state = trainer.meta_train(max_steps=2)
     assert int(state.step) == 2
+
+
+def test_true_multiprocess_feeding_matches_single_process():
+    """Spawns 2 REAL processes (4 virtual CPU devices each) joined by
+    jax.distributed.initialize into one 8-device mesh; each process feeds
+    only its own meta-batch rows (host_local_slice +
+    make_array_from_process_local_data). FOMAML losses must equal the
+    single-process 8-device run bit-for-bit (scripts/multihost_smoke.py)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout

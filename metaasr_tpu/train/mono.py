@@ -185,17 +185,3 @@ class MultitaskASRTrainer(MonoASRTrainer):
                          dev_dataset, tokenizer, workdir)
         self.accents = sorted(accent_datasets)
 
-
-def quick_eval_cer(task: ASRTask, params, dataset, tokenizer,
-                   max_utts: int = 50, batch_size: int = 8) -> float:
-    """Standalone greedy-CTC CER helper (used by meta-adapt eval too)."""
-    hyps, refs = [], []
-    idx = list(range(min(len(dataset), max_utts)))
-    for i in range(0, len(idx), batch_size):
-        items = [dataset[j] for j in idx[i: i + batch_size]]
-        smax = max(1, max(item_samples(it) for it in items))
-        batch = collate(items, smax, 8)
-        packed, out_lens = task.greedy_batch(params, batch)
-        hyps.extend(greedy_to_texts(packed, out_lens, tokenizer))
-        refs.extend(batch["texts"])
-    return compute_cer(hyps, refs)

@@ -5,7 +5,7 @@ Mirrors the reference's interface (R: main.py, SURVEY.md section 2.1 #1):
     python main.py --config configs/config3_fomaml.yaml --mode train \
         --algo fomaml [--ckpt DIR] [--seed N] [-o key=value ...]
 
-modes: train | adapt | test;  algos: no | multi | fomaml | maml
+modes: train | adapt | test;  algos: no | multi | fomaml | maml | reptile
 (algo overrides config; 'no' = single-accent baseline, 'multi' = pooled
 multi-accent multitask, SURVEY.md section 2.1 #3-#6).
 """
@@ -112,7 +112,7 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
         return MonoASRTrainer(cfg, task, train_sets, dev, tok, workdir), tok
     if algo == "multi":
         return MultitaskASRTrainer(cfg, task, dsets, dev, tok, workdir), tok
-    if algo in ("fomaml", "maml"):
+    if algo in ("fomaml", "maml", "reptile"):
         return MetaASRTrainer(cfg, task, dsets, heldout, tok, workdir,
                               mesh=mesh), tok
     raise ValueError(f"unknown algo {algo}")
@@ -122,7 +122,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("metaasr_tpu")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--mode", choices=["train", "adapt", "test"], default="train")
-    p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml"],
+    p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml", "reptile"],
                    default=None)
     p.add_argument("--workdir", type=str, default="runs/default")
     p.add_argument("--seed", type=int, default=None)
@@ -195,7 +195,7 @@ def main(argv=None):
 
             ctx = trace(args.profile)
         with ctx:
-            if cfg.meta.algo in ("fomaml", "maml"):
+            if cfg.meta.algo in ("fomaml", "maml", "reptile"):
                 trainer.meta_train()
             else:
                 trainer.train()
@@ -224,7 +224,7 @@ def main(argv=None):
         if not targets and hasattr(trainer, "dev_dataset") and trainer.dev_dataset:
             targets = {"dev": trainer.dev_dataset}
         for name, ds in targets.items():
-            if cfg.meta.algo in ("fomaml", "maml"):
+            if cfg.meta.algo in ("fomaml", "maml", "reptile"):
                 results[name] = trainer.decode(state.params, ds,
                                                mode=args.decode_mode)
             else:

@@ -96,7 +96,7 @@ class OptimizerConfig:
 
 @dataclass
 class MetaConfig:
-    algo: str = "fomaml"           # "no" | "multi" | "fomaml" | "maml"
+    algo: str = "fomaml"           # "no" | "multi" | "fomaml" | "maml" | "reptile"
     inner_lr: float = 1e-2
     inner_steps: int = 3
     k_support: int = 4             # utterances per inner (support) batch

@@ -140,6 +140,54 @@ def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig,
     return meta_loss
 
 
+def reptile_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
+                  preprocess_fn: Callable | None = None):
+    """Reptile (Nichol, Achiam & Schulman 2018) as the same transform
+    shape as ``maml_grads``: returns ``grad_fn(params, meta_batch, rng)
+    -> (grads, metrics)``.
+
+    Reptile needs no support/query split and no query backward pass:
+    per task, run the k inner SGD steps on the WHOLE task batch (support
+    and query concatenated along the utterance axis) and emit
+    ``params - adapted_params`` as the outer gradient — a step of outer
+    SGD with lr ε then interpolates ``params <- (1-ε) params + ε adapted``,
+    exactly Reptile's update (with Adam it is the usual "Reptile + Adam"
+    variant). Cheaper than FOMAML (no query fwd+bwd), first-order by
+    construction, and reuses ``make_inner_adapt`` verbatim — so it is
+    compatible with the Pallas CTC custom VJP and sharded task axes.
+    Extension beyond the reference's algo set (no | multi | fomaml |
+    maml); the analytic quadratic test pins the update direction.
+    """
+    inner_adapt = make_inner_adapt(loss_fn, cfg, train=True)
+
+    def per_task(params, support, query, rng):
+        r_in, r_ps, r_pq = jax.random.split(rng, 3)
+        if preprocess_fn is not None:
+            support = preprocess_fn(support, r_ps, True)
+            query = preprocess_fn(query, r_pq, True)
+        task_batch = jax.tree_util.tree_map(
+            lambda s, q: jnp.concatenate([s, q], axis=0), support, query)
+        adapted, s_losses = inner_adapt(params, task_batch, r_in)
+        delta = jax.tree_util.tree_map(lambda p, a: p - a, params, adapted)
+        return delta, s_losses[0], s_losses[-1]
+
+    def grad_fn(params, meta_batch, rng):
+        m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
+        rngs = jax.random.split(rng, m)
+        deltas, first, last = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
+            params, meta_batch["support"], meta_batch["query"], rngs)
+        grads = jax.tree_util.tree_map(lambda d: d.mean(axis=0), deltas)
+        metrics = {
+            "meta_loss": last.mean(),
+            "query_loss_mean": last.mean(),
+            "query_loss_max": last.max(),
+            "support_loss_mean": first.mean(),
+        }
+        return grads, metrics
+
+    return grad_fn
+
+
 def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
                preprocess_fn: Callable | None = None):
     """Convenience: returns ``grad_fn(params, meta_batch, rng) ->

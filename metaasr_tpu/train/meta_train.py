@@ -25,7 +25,12 @@ from flax import struct
 from metaasr_tpu.config import Config
 from metaasr_tpu.data.sampler import TaskSampler, collate, support_query_split
 from metaasr_tpu.decode.greedy import greedy_to_texts
-from metaasr_tpu.meta.maml import MetaAlgoConfig, make_inner_adapt, maml_grads
+from metaasr_tpu.meta.maml import (
+    MetaAlgoConfig,
+    make_inner_adapt,
+    maml_grads,
+    reptile_grads,
+)
 from metaasr_tpu.parallel.mesh import replicated
 from metaasr_tpu.train.checkpoint import CheckpointManager
 from metaasr_tpu.train.logging import MetricLogger
@@ -49,11 +54,11 @@ class MetaTrainState:
 
 def algo_config(cfg: Config) -> MetaAlgoConfig:
     algo = cfg.meta.algo
-    if algo not in ("fomaml", "maml"):
-        raise ValueError(f"meta algo must be fomaml|maml, got {algo}")
+    if algo not in ("fomaml", "maml", "reptile"):
+        raise ValueError(f"meta algo must be fomaml|maml|reptile, got {algo}")
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
-                          first_order=(algo == "fomaml"),
+                          first_order=(algo != "maml"),
                           remat_inner=cfg.meta.remat_inner,
                           unroll_inner=cfg.meta.unroll_inner)
 
@@ -91,7 +96,9 @@ class MetaASRTrainer:
             tasks_per_batch=m.tasks_per_batch,
             num_samples=cap, num_tokens=d.max_tokens,
             seed=d.seed, sample_buckets=s_buckets, token_buckets=u_buckets)
-        self._grad_fn = maml_grads(self.task.loss_fn, algo_config(cfg),
+        make_grads = (reptile_grads if cfg.meta.algo == "reptile"
+                      else maml_grads)
+        self._grad_fn = make_grads(self.task.loss_fn, algo_config(cfg),
                                    preprocess_fn=self.task.preprocess)
         self._jit_step = self._build_step()
         self._store = None

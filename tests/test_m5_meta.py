@@ -167,3 +167,33 @@ def test_meta_loss_rng_isolation():
     l1, _ = meta_loss(w, mb, jax.random.PRNGKey(1))
     l2, _ = meta_loss(w, mb, jax.random.PRNGKey(1))
     assert float(l1) == float(l2)
+
+
+def test_reptile_gradient_analytic():
+    """Reptile outer grad on the quadratic family: inner SGD on the
+    combined (support+query) batch has closed form
+        adapted = m + (1-lr)^k (w - m),   m = mean of all targets,
+    so the Reptile delta is (1 - (1-lr)^k)(w - m), averaged over tasks."""
+    from metaasr_tpu.meta.maml import reptile_grads
+
+    def mquad_loss(params, batch, rng, train):
+        del rng, train
+        diff = params["w"][None] - batch["c"]          # [k, d]
+        return 0.5 * (diff ** 2).sum(-1).mean(), {}
+
+    rng = np.random.default_rng(5)
+    d, k, m_tasks, lr, steps = 5, 2, 3, 0.1, 4
+    w = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((m_tasks, k, d)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((m_tasks, k, d)).astype(np.float32))
+    mb = {"support": {"c": cs}, "query": {"c": cq}}
+    for unroll in (False, True):
+        grad_fn = reptile_grads(mquad_loss, MetaAlgoConfig(
+            inner_lr=lr, inner_steps=steps, first_order=True,
+            unroll_inner=unroll))
+        grads, metrics = grad_fn({"w": w}, mb, jax.random.PRNGKey(0))
+        m = jnp.concatenate([cs, cq], axis=1).mean(axis=1)   # [M, d]
+        expect = ((1 - (1 - lr) ** steps) * (w[None] - m)).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(grads["w"]),
+                                   np.asarray(expect), rtol=1e-5, atol=1e-6)
+        assert np.isfinite(float(metrics["meta_loss"]))

@@ -76,3 +76,22 @@ def test_fomaml_transformer_smoke(synthetic_data_dir, tmp_path):
                                arch="transformer")
     state = trainer.meta_train(max_steps=2)
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_reptile_meta_train_smoke(synthetic_data_dir, tmp_path):
+    """Reptile (combined-batch inner SGD, delta outer grad) runs on the
+    real ASR model end-to-end and produces finite losses + a usable
+    adapted model."""
+    trainer, _ = _make_trainer(synthetic_data_dir, tmp_path / "rep", "reptile")
+    state = trainer.meta_train(max_steps=4)
+    assert int(state.step) == 4
+    import json
+
+    recs = [json.loads(l) for l in
+            open(f"{tmp_path}/rep/logs/scalars.jsonl") if "meta_loss" in l]
+    assert recs and np.isfinite(recs[-1]["meta_loss"])
+    ds = trainer.heldout_datasets["delta"]
+    adapted, test_idx = trainer.meta_adapt(state.params, ds, adapt_steps=2)
+    scores = trainer.decode(adapted, ds, test_idx, max_utts=4)
+    assert 0.0 <= scores["wer"] <= 2.0

@@ -216,8 +216,9 @@ def main(argv=None):
     if args.mode == "adapt":
         for name, ds in trainer.heldout_datasets.items():
             adapted, test_idx = trainer.meta_adapt(state.params, ds)
-            scores = trainer.decode(adapted, ds, test_idx,
-                                    mode=args.decode_mode)
+            scores = trainer.decode(
+                adapted, ds, test_idx, mode=args.decode_mode,
+                dump_path=os.path.join(args.workdir, f"hyps_{name}.jsonl"))
             results[name] = scores
     else:  # test: decode without adaptation
         targets = getattr(trainer, "heldout_datasets", None) or {}
@@ -225,8 +226,10 @@ def main(argv=None):
             targets = {"dev": trainer.dev_dataset}
         for name, ds in targets.items():
             if cfg.meta.algo in ("fomaml", "maml", "reptile"):
-                results[name] = trainer.decode(state.params, ds,
-                                               mode=args.decode_mode)
+                results[name] = trainer.decode(
+                    state.params, ds, mode=args.decode_mode,
+                    dump_path=os.path.join(args.workdir,
+                                           f"hyps_{name}.jsonl"))
             else:
                 results[name] = trainer.evaluate(state.params, ds)
     out = os.path.join(args.workdir, f"{args.mode}_results.json")

@@ -355,11 +355,14 @@ class MetaASRTrainer:
         return self._adapt_cache[steps]
 
     def decode(self, params, dataset, indices=None, max_utts: int = 100,
-               mode: str = "greedy") -> dict:
+               mode: str = "greedy", dump_path: str | None = None) -> dict:
         """Decode a dataset (or subset) -> WER/CER.
 
         mode='greedy': CTC greedy. mode='beam': batched on-device joint
         CTC/attention beam search (transformer only; SURVEY.md section 3.3).
+        ``dump_path``: write one JSONL record {"hyp", "ref"} per utterance
+        (the reference's decode writes hypothesis files; SURVEY.md
+        section 3.3).
         """
         indices = list(indices if indices is not None else range(len(dataset)))
         indices = indices[:max_utts]
@@ -382,6 +385,12 @@ class MetaASRTrainer:
                 packed, out_lens = self.task.greedy_batch(params, batch)
                 hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
             refs.extend(batch["texts"])
+        if dump_path:
+            import json
+
+            with open(dump_path, "w") as f:
+                for h, r in zip(hyps, refs):
+                    f.write(json.dumps({"hyp": h, "ref": r}) + "\n")
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
     def _beam_decode_batch(self, params, batch) -> list[str]:

@@ -37,6 +37,9 @@ def test_cli_train_then_adapt(synthetic_data_dir, tmp_path):
     assert rc == 0
     results = json.load(open(f"{wd}/adapt_results.json"))
     assert "delta" in results and 0.0 <= results["delta"]["wer"] <= 2.0
+    # hypothesis dump (reference decode writes hyp files)
+    hyps = [json.loads(l) for l in open(f"{wd}/hyps_delta.jsonl")]
+    assert hyps and {"hyp", "ref"} <= set(hyps[0])
 
     rc = main(["--config", f"{wd}/config.yaml", "--mode", "test",
                "--workdir", wd, "--data-dir", synthetic_data_dir])

@@ -77,7 +77,7 @@ class MetaASRTrainer:
             task.require_full_autodiff()
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
         self.ckpt = CheckpointManager(f"{workdir}/ckpts",
-                              keep=cfg.train.keep_ckpts)
+                                      keep=cfg.train.keep_ckpts)
         self.logger = MetricLogger(f"{workdir}/logs",
                                    print_every=cfg.train.log_every)
         m = cfg.meta

@@ -68,7 +68,7 @@ class MonoASRTrainer:
         self.dev_dataset = dev_dataset
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
         self.ckpt = CheckpointManager(f"{workdir}/ckpts",
-                              keep=cfg.train.keep_ckpts)
+                                      keep=cfg.train.keep_ckpts)
         self.logger = MetricLogger(f"{workdir}/logs",
                                    print_every=cfg.train.log_every)
         self.batcher = BucketBatcher(

@@ -107,8 +107,12 @@ def cmd_features(args):
         lines = []
         for u in man.utts:
             audio = load_wav(os.path.join(man.root, u.wav), args.sample_rate)
+            # pad to a 1 s bucket: log_mel_fbank jit-compiles per input
+            # LENGTH, so raw ragged lengths would recompile per utterance
+            pad = -len(audio) % args.sample_rate
+            audio_p = np.pad(audio, (0, pad))
             feats, flens = log_mel_fbank(
-                jnp.asarray(audio)[None], jnp.asarray([len(audio)]),
+                jnp.asarray(audio_p)[None], jnp.asarray([len(audio)]),
                 cmvn="none")
             arr = np.asarray(feats[0, : int(flens[0])], dtype=np.float32)
             rel = os.path.join("feats", accent, f"{u.utt_id}.npy")

@@ -99,3 +99,42 @@ def test_commonvoice_prep_end_to_end(tmp_path, rng):
     params = task.init_params(jax.random.PRNGKey(0), batch)
     loss, _ = task.loss_fn(params, batch, jax.random.PRNGKey(1), True)
     assert np.isfinite(float(loss))
+
+
+def test_features_and_vocab_subcommands(tmp_path, rng):
+    """Offline feature extraction (parity with the reference's Kaldi
+    offline path) + vocab building on a prepped corpus: manifests gain
+    'feats' entries that load, match the on-device front-end, and a
+    global cmvn_stats.json is written."""
+    tsv, clips = _fake_cv(str(tmp_path), rng)
+    out_dir = str(tmp_path / "cv")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for cmd in (
+        [sys.executable, SCRIPT, "commonvoice", "--tsv", tsv, "--clips-dir",
+         clips, "--out", out_dir, "--accents", "us", "--min-sec", "0.2",
+         "--max-sec", "5"],
+        [sys.executable, SCRIPT, "features", "--data-dir", out_dir],
+        [sys.executable, SCRIPT, "vocab", "--data-dir", out_dir,
+         "--type", "char"],
+    ):
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                           env=env)
+        assert r.returncode == 0, r.stdout + r.stderr
+    utts = [json.loads(l) for l in open(os.path.join(out_dir, "us.jsonl"))]
+    assert all("feats" in u for u in utts)
+    feats = np.load(os.path.join(out_dir, utts[0]["feats"]))
+    assert feats.ndim == 2 and feats.shape[1] == 80
+    stats = json.load(open(os.path.join(out_dir, "cmvn_stats.json")))
+    assert len(stats["mean"]) == 80 and stats["frames"] > 0
+    assert os.path.exists(os.path.join(out_dir, "vocab_char.json"))
+    # offline features == the on-device front-end (cmvn none, dither 0)
+    import jax.numpy as jnp
+
+    from metaasr_tpu.data.audio_io import load_wav
+    from metaasr_tpu.frontend.fbank import log_mel_fbank
+
+    audio = load_wav(os.path.join(out_dir, utts[0]["wav"]), 16000)
+    ref, flens = log_mel_fbank(jnp.asarray(audio)[None],
+                               jnp.asarray([len(audio)]), cmvn="none")
+    np.testing.assert_allclose(feats, np.asarray(ref[0, : int(flens[0])]),
+                               rtol=1e-4, atol=1e-4)

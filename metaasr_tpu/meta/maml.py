@@ -64,6 +64,11 @@ class MetaAlgoConfig:
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
 
+# unroll_inner is capped: past this many inner steps the unrolled graph's
+# compile time outweighs the saved carry copies; the scan form (compiles
+# the body once) takes over automatically.
+MAX_UNROLL_STEPS = 8
+
 
 def sgd_update(params, grads, lr):
     return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
@@ -96,9 +101,10 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
 
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
             jnp.arange(cfg.inner_steps))
-        params, losses = jax.lax.scan(body, params, rngs,
-                                      unroll=cfg.inner_steps
-                                      if cfg.unroll_inner else 1)
+        unroll = (cfg.inner_steps
+                  if cfg.unroll_inner and cfg.inner_steps <= MAX_UNROLL_STEPS
+                  else 1)
+        params, losses = jax.lax.scan(body, params, rngs, unroll=unroll)
         return params, losses
 
     return inner_adapt

@@ -112,3 +112,22 @@ def test_ctc_pallas_batch_block_selection():
     # extreme T: even the minimum block overflows VMEM -> caller falls
     # back to the scan backend (ctc_forward_pallas checks fits_vmem)
     assert not fits_vmem(7000, 128)
+
+
+def test_nan_check_raises_on_nan():
+    """--debug-nans (SURVEY.md section 5.2): jax_debug_nans must surface a
+    NaN produced inside jitted compute as an exception, and switch off
+    cleanly."""
+    import jax
+    import pytest
+
+    from metaasr_tpu.utils.profiling import nan_check
+
+    nan_check(True)
+    try:
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(
+                jax.jit(lambda x: jnp.log(x) * 0.0 + x)(jnp.zeros(3) - 1.0)
+                * jnp.nan)
+    finally:
+        nan_check(False)

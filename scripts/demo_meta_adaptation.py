@@ -9,7 +9,9 @@ hold out one accent, then measure WER on it:
       5-shot adaptation
 with greedy and joint CTC/attention beam decoding. Writes RESULTS.md.
 
-Run: python scripts/demo_meta_adaptation.py [--steps N] [--out RESULTS.md]
+Run: python scripts/demo_meta_adaptation.py [--steps N] [--out RESULTS_demo.md]
+(RESULTS.md is curated by hand from these runs + scripts/flagship_results.py
+-- the default output deliberately does NOT overwrite it)
 """
 
 from __future__ import annotations
@@ -80,7 +82,7 @@ def main():
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--data-dir", default="/tmp/demo_synth")
     ap.add_argument("--workdir", default="/tmp/demo_runs")
-    ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--out", default="RESULTS_demo.md")
     ap.add_argument("--utts-per-accent", type=int, default=192)
     args = ap.parse_args()
 

@@ -183,6 +183,9 @@ def reptile_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
         deltas, first, last = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
             params, meta_batch["support"], meta_batch["query"], rngs)
         grads = jax.tree_util.tree_map(lambda d: d.mean(axis=0), deltas)
+        # Reptile has no query loss; the LAST inner-step loss on the
+        # combined batch is the closest progress signal, reported under
+        # the same metric keys so trainer logging stays uniform.
         metrics = {
             "meta_loss": last.mean(),
             "query_loss_mean": last.mean(),

@@ -37,7 +37,7 @@ def _fake_cv(root, rng):
     # a row with a missing file and one with an unknown accent: skipped
     rows.append({"path": "missing.wav", "sentence": "x", "accent": "us",
                  "client_id": "s"})
-    rows.append({"path": f"us_0.wav", "sentence": "x", "accent": "zz",
+    rows.append({"path": "us_0.wav", "sentence": "x", "accent": "zz",
                  "client_id": "s"})
     tsv = os.path.join(root, "validated.tsv")
     with open(tsv, "w", newline="") as f:

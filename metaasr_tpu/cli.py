@@ -136,6 +136,10 @@ def main(argv=None):
     p.add_argument("--avg-last", type=int, default=0,
                    help="adapt/test: average the last N checkpoints "
                         "(ESPnet-style model averaging)")
+    p.add_argument("--use-best", action="store_true",
+                   help="adapt/test: load the best-by-dev-metric "
+                        "checkpoint (the reference's best.pth) instead "
+                        "of the latest")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md section 5.2)")
     p.add_argument("--profile", type=str, default=None,
@@ -204,9 +208,18 @@ def main(argv=None):
     # adapt/test need a checkpoint
     state = trainer.init_state()
     template = state
-    state, step = trainer.ckpt.restore(state)
-    if step < 0:
-        raise SystemExit(f"no checkpoint found under {args.workdir}/ckpts")
+    if args.use_best:
+        best = trainer.ckpt.restore_best(template)
+        if best is None:
+            raise SystemExit(
+                f"no best checkpoint under {args.workdir}/ckpts/best "
+                "(best is saved at periodic evals; train with "
+                "train.eval_every set)")
+        state = best
+    else:
+        state, step = trainer.ckpt.restore(state)
+        if step < 0:
+            raise SystemExit(f"no checkpoint found under {args.workdir}/ckpts")
     if args.avg_last:
         from metaasr_tpu.train.checkpoint import average_checkpoints
 

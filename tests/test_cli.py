@@ -23,7 +23,8 @@ def test_cli_train_then_adapt(synthetic_data_dir, tmp_path):
         "-o", "data.max_frames=200", "-o", "data.max_tokens=16",
         "-o", "data.heldout_accents=delta",
         "-o", "frontend.use_pallas=false",
-        "-o", "train.eval_every=1000000", "-o", "train.ckpt_every=1000000",
+        "-o", "train.eval_every=2", "-o", "train.ckpt_every=1000000",
+        "-o", "train.eval_max_utts=4", "-o", "train.eval_decode_mode=greedy",
         "-o", "train.prng_impl=", "-o", "optimizer.schedule=constant",
         "-o", "optimizer.lr=0.001",
     ]
@@ -45,3 +46,9 @@ def test_cli_train_then_adapt(synthetic_data_dir, tmp_path):
                "--workdir", wd, "--data-dir", synthetic_data_dir])
     assert rc == 0
     assert os.path.exists(f"{wd}/test_results.json")
+
+    # --use-best: the eval at step 2 saved a best checkpoint
+    rc = main(["--config", f"{wd}/config.yaml", "--mode", "adapt",
+               "--workdir", wd, "--data-dir", synthetic_data_dir,
+               "--use-best"])
+    assert rc == 0

@@ -206,6 +206,11 @@ def main(argv=None):
         return 0
 
     # adapt/test need a checkpoint
+    if args.use_best and args.avg_last:
+        raise SystemExit(
+            "--use-best and --avg-last are mutually exclusive: averaging "
+            "the last N checkpoints would overwrite the restored best "
+            "params — pick one")
     state = trainer.init_state()
     template = state
     if args.use_best:

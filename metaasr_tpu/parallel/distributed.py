@@ -20,25 +20,49 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 
 
+def _multihost_env_present() -> bool:
+    import os
+
+    return bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")) or \
+        os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Idempotent jax.distributed.initialize with single-host fallback."""
+    """Idempotent jax.distributed.initialize with single-host fallback.
+
+    When the environment says this IS a multi-host pod (explicit coordinator
+    args, or MEGASCALE/TPU_WORKER_HOSTNAMES env), a failed rendezvous is
+    FATAL: swallowing it would silently degrade an N-host run into N
+    independent single-host replicas training divergently.
+    """
     if jax.process_count() > 1:
         return  # already initialized
+    expected_multihost = bool(coordinator_address or num_processes) or \
+        _multihost_env_present()
     try:
         if coordinator_address or num_processes:
             jax.distributed.initialize(coordinator_address, num_processes,
                                        process_id)
-        else:
+        elif _multihost_env_present():
             # TPU pods: auto-detected from the metadata server / env
-            import os
+            jax.distributed.initialize()
+    except Exception as e:
+        if expected_multihost:
+            raise RuntimeError(
+                "multi-host environment detected (coordinator args or "
+                "MEGASCALE/TPU_WORKER_HOSTNAMES set) but "
+                "jax.distributed.initialize failed — refusing to continue "
+                "as divergent single-host replicas") from e
+        # genuinely single host: nothing to initialize
+    else:
+        if expected_multihost:
+            import logging
 
-            if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or \
-               os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0:
-                jax.distributed.initialize()
-    except Exception:
-        pass  # single host
+            logging.getLogger(__name__).info(
+                "jax.distributed: process %d/%d",
+                jax.process_index(), jax.process_count())
 
 
 def host_local_slice(global_rows: int) -> slice:

@@ -94,9 +94,12 @@ def test_unrolled_inner_loop_matches_scan():
             quad_loss,
             MetaAlgoConfig(0.1, 4, fo, True, unroll_inner=True))(
                 params, mb, jax.random.PRNGKey(0))
-        np.testing.assert_array_equal(np.asarray(g_scan["w"]),
-                                      np.asarray(g_unr["w"]))
-        assert float(m_scan["meta_loss"]) == float(m_unr["meta_loss"])
+        # XLA does not guarantee bit-identical results across scheduling /
+        # fusion choices, so tight-tolerance rather than bit-exact
+        np.testing.assert_allclose(np.asarray(g_scan["w"]),
+                                   np.asarray(g_unr["w"]), rtol=1e-7)
+        np.testing.assert_allclose(float(m_scan["meta_loss"]),
+                                   float(m_unr["meta_loss"]), rtol=1e-7)
 
 
 def test_task_vmap_averaging():

@@ -117,7 +117,7 @@ def test_features_and_vocab_subcommands(tmp_path, rng):
         [sys.executable, SCRIPT, "vocab", "--data-dir", out_dir,
          "--type", "char"],
     ):
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
                            env=env)
         assert r.returncode == 0, r.stdout + r.stderr
     utts = [json.loads(l) for l in open(os.path.join(out_dir, "us.jsonl"))]

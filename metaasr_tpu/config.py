@@ -126,6 +126,10 @@ class DataConfig:
     meta_buckets: bool = True
     vocab: str = "char"            # "char" | "phone" | "bpe"
     num_workers: int = 0
+    # "buckets" (BucketBatcher, exact (seed,step) resume, bucketed shapes)
+    # or "grain" (worker-parallel IO for heavy corpora; iterator state is
+    # checkpointed next to the orbax state for exact resume)
+    loader: str = "buckets"
     seed: int = 0
     # per-accent dev split for training accents (0 = use held-out accents
     # as dev, as in the meta setting)
@@ -180,6 +184,10 @@ class TrainConfig:
     # utterances per held-out accent scored at periodic evals (bounds the
     # cost of beam-mode best-ckpt tracking)
     eval_max_utts: int = 32
+    # k-shot support draws averaged per held-out eval: a single draw's WER
+    # moves by the same order as the metric itself (measured +-0.018 around
+    # 0.035), so best-ckpt selection on one draw chases noise
+    eval_support_draws: int = 3
     # persistent XLA compile cache ("" = disabled): resume/adapt/test
     # sessions skip minutes of recompilation of the same graphs
     compile_cache_dir: str = "~/.cache/metaasr_tpu/jax_cache"

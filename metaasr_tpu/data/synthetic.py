@@ -30,10 +30,47 @@ LEXICON = (
     "pade qui rosa situ tule uvo wabe xen yolo zumi bro cla dri fle gno"
 ).split()
 
+# hard profile: larger lexicon with many near-neighbors (single-char edits
+# of each other), so one decode slip is one word error, not a detectable
+# non-word
+LEXICON_HARD = LEXICON + (
+    "abe abi bade bida cida cido dafu dogu egu eki fena fono gude guto "
+    "hibe huba iji ika kalo kilu lumo lami mono mani nipo nupe oga egu "
+    "pado pede quo qua rose rasa sito satu tula tele uva evo wabo webe "
+    "xin xan yole yulo zume zimi bra cle dra fli gna sno tro vle"
+).split()
+
 ACCENTS = ("alpha", "bravo", "echo", "delta", "india", "kilo", "oscar", "tango")
 
+# >=12 accents for the hard regime (VERDICT r2 #3): the quality benchmark
+# saturated at WER 0.000 on the 8-accent easy set
+ACCENTS_HARD = ACCENTS + ("juliet", "lima", "mike", "november", "papa",
+                          "quebec", "romeo", "sierra")
 
-def _accent_params(accent_idx: int, rng: np.random.Generator) -> dict:
+
+def _accent_params(accent_idx: int, rng: np.random.Generator,
+                   profile: str = "easy") -> dict:
+    if profile == "hard":
+        # Closer, OVERLAPPING transforms: pitch grid spacing ~3.5% (vs 8%
+        # easy) with an interleaved ordering so accent id distance is not
+        # parameter distance; with the tighter 14 Hz character spacing a
+        # +-3.5% pitch shift moves high chars onto their neighbors'
+        # frequencies — cross-accent char aliasing only resolvable once
+        # the accent's transform is identified (exactly what few-shot
+        # adaptation provides). Per-utterance rate jitter + a real noise
+        # floor keep single utterances ambiguous.
+        n = 16
+        return {
+            "pitch": 1.0 + 0.035 * (((accent_idx * 7) % n) - (n - 1) / 2)
+            + 0.004 * rng.standard_normal(),
+            "rate": 1.0 + 0.14 * ((((accent_idx * 5) % 8) - 3.5) / 3.5),
+            "tilt": 0.40 + 0.07 * ((accent_idx * 3) % 5),
+            "env_phase": 2 * np.pi * ((accent_idx * 11) % n) / n,
+            "noise": 0.08,
+            "char_hz": 14.0,
+            "rate_jitter": 0.06,
+            "harmonics": 4,
+        }
     return {
         "pitch": 1.0 + 0.08 * (accent_idx - 3.5) + 0.01 * rng.standard_normal(),
         "rate": 1.0 + 0.10 * ((accent_idx % 4) - 1.5),
@@ -45,8 +82,14 @@ def _accent_params(accent_idx: int, rng: np.random.Generator) -> dict:
 def synth_utterance(text: str, accent_params: dict, rng: np.random.Generator,
                     sample_rate: int = 16000) -> np.ndarray:
     """Render ``text`` (chars a-z + space) to a waveform."""
-    seg_dur = 0.09 / accent_params["rate"]
+    rate = accent_params["rate"]
+    jitter = accent_params.get("rate_jitter", 0.0)
+    if jitter:
+        rate *= 1.0 + jitter * float(rng.standard_normal())
+    seg_dur = 0.09 / max(rate, 0.5)
     seg_len = int(seg_dur * sample_rate)
+    char_hz = accent_params.get("char_hz", 28.0)
+    n_harm = accent_params.get("harmonics", 3)
     pieces = []
     t = np.arange(seg_len) / sample_rate
     for ch in text.lower():
@@ -56,9 +99,9 @@ def synth_utterance(text: str, accent_params: dict, rng: np.random.Generator,
         if not ("a" <= ch <= "z"):
             continue
         k = ord(ch) - ord("a")
-        f0 = (180.0 + 28.0 * k) * accent_params["pitch"]
+        f0 = (180.0 + char_hz * k) * accent_params["pitch"]
         sig = np.zeros(seg_len)
-        for h in range(1, 4):
+        for h in range(1, n_harm + 1):
             amp = accent_params["tilt"] ** (h - 1)
             # formant-like accent envelope: fixed per accent, varies with harmonic
             amp *= 1.0 + 0.3 * np.sin(accent_params["env_phase"] + h)
@@ -70,27 +113,36 @@ def synth_utterance(text: str, accent_params: dict, rng: np.random.Generator,
     if not pieces:
         pieces = [np.zeros(seg_len, dtype=np.float32)]
     wav = np.concatenate(pieces)
-    wav += 0.01 * rng.standard_normal(len(wav)).astype(np.float32)
+    noise = accent_params.get("noise", 0.01)
+    wav += noise * rng.standard_normal(len(wav)).astype(np.float32)
     peak = np.abs(wav).max()
     return (0.6 * wav / max(peak, 1e-6)).astype(np.float32)
 
 
 def generate_dataset(data_dir: str, accents=ACCENTS, utts_per_accent: int = 64,
                      words_per_utt: tuple[int, int] = (2, 5), seed: int = 0,
-                     sample_rate: int = 16000, write_wavs: bool = True) -> None:
-    """Write ``<accent>.jsonl`` manifests + WAVs under ``data_dir``."""
+                     sample_rate: int = 16000, write_wavs: bool = True,
+                     profile: str = "easy") -> None:
+    """Write ``<accent>.jsonl`` manifests + WAVs under ``data_dir``.
+
+    ``profile='hard'``: the de-saturated quality benchmark — 14 Hz char
+    spacing (confusable under pitch shifts), near-neighbor lexicon, 8%
+    noise floor, per-utterance rate jitter, overlapping accent transforms.
+    Pair with ``accents=ACCENTS_HARD`` and longer ``words_per_utt``.
+    """
     os.makedirs(data_dir, exist_ok=True)
+    lexicon = LEXICON_HARD if profile == "hard" else LEXICON
     master = np.random.default_rng(seed)
     for ai, accent in enumerate(accents):
         rng = np.random.default_rng(master.integers(2**31) + ai)
-        params = _accent_params(ai, rng)
+        params = _accent_params(ai, rng, profile)
         wav_dir = os.path.join(data_dir, "wav", accent)
         if write_wavs:
             os.makedirs(wav_dir, exist_ok=True)
         lines = []
         for ui in range(utts_per_accent):
             n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
-            words = [LEXICON[int(rng.integers(len(LEXICON)))] for _ in range(n_words)]
+            words = [lexicon[int(rng.integers(len(lexicon)))] for _ in range(n_words)]
             text = " ".join(words)
             wav = synth_utterance(text, params, rng, sample_rate)
             utt_id = f"{accent}_{ui:04d}"

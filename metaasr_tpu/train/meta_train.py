@@ -441,21 +441,36 @@ class MetaASRTrainer:
             self._beam_cache[key] = jax.jit(run)
         return self._beam_cache[key]
 
-    def eval_heldout(self, params, max_utts: int | None = None) -> dict:
+    def eval_heldout(self, params, max_utts: int | None = None,
+                     support_draws: int | None = None) -> dict:
         """5-shot adapt + decode on every held-out accent (the headline
         metric, BASELINE.json:2). Decode mode follows
         cfg.train.eval_decode_mode so best-checkpoint selection tracks the
-        same metric RESULTS reports (beam by default for transformers)."""
+        same metric RESULTS reports (beam by default for transformers).
+
+        Each accent's WER is the MEAN over ``train.eval_support_draws``
+        independent k-shot support draws (different split seeds): one
+        draw's spread (measured +-0.018) is the same order as the metric,
+        so single-draw best-ckpt selection chases support-sampling noise.
+        Per-accent std across draws is reported alongside."""
         out = {}
         wers = []
         max_utts = max_utts or self.cfg.train.eval_max_utts
+        draws = max(1, support_draws if support_draws is not None
+                    else self.cfg.train.eval_support_draws)
         mode = self.cfg.train.eval_decode_mode
         for name, ds in self.heldout_datasets.items():
-            adapted, test_idx = self.meta_adapt(params, ds)
-            scores = self.decode(adapted, ds, test_idx, max_utts=max_utts,
-                                 mode=mode)
-            out[f"heldout_{name}_wer"] = scores["wer"]
-            out[f"heldout_{name}_cer"] = scores["cer"]
-            wers.append(scores["wer"])
+            draw_wer, draw_cer = [], []
+            for seed in range(draws):
+                adapted, test_idx = self.meta_adapt(params, ds, seed=seed)
+                scores = self.decode(adapted, ds, test_idx,
+                                     max_utts=max_utts, mode=mode)
+                draw_wer.append(scores["wer"])
+                draw_cer.append(scores["cer"])
+            out[f"heldout_{name}_wer"] = float(np.mean(draw_wer))
+            out[f"heldout_{name}_cer"] = float(np.mean(draw_cer))
+            if draws > 1:
+                out[f"heldout_{name}_wer_std"] = float(np.std(draw_wer))
+            wers.append(float(np.mean(draw_wer)))
         out["heldout_wer_mean"] = float(np.mean(wers)) if wers else 1.0
         return out

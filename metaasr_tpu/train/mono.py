@@ -12,6 +12,7 @@ bounded jit cache); params donated to avoid copies.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -102,6 +103,70 @@ class MonoASRTrainer:
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    def _make_feed(self, start_step: int):
+        """Batch iterator for training.
+
+        loader="buckets" (default): BucketBatcher — per-bucket shapes,
+        exact (seed, epoch, index) resume by construction.
+        loader="grain": worker-parallel grain pipeline (data.num_workers)
+        at fixed cap shapes; its iterator state is written next to the
+        orbax checkpoints (grain_state.bin) and restored here, so resume
+        replays the exact stream (SURVEY.md section 5.3)."""
+        if self.cfg.data.loader != "grain":
+            return self.batcher.iter_from(start_step)
+        from metaasr_tpu.data.grain_loader import (
+            make_grain_loader,
+            restore_iterator_state,
+        )
+
+        cap = self.cfg.data.max_frames * 160 + 240
+        self._grain_it = make_grain_loader(
+            self.train_datasets, self.cfg.data.batch_size, cap,
+            self.cfg.data.max_tokens, seed=self.cfg.data.seed,
+            num_workers=self.cfg.data.num_workers)
+        path = self._grain_state_path(start_step)
+        if start_step > 0 and os.path.exists(path):
+            import pickle
+
+            with open(path, "rb") as f:
+                restore_iterator_state(self._grain_it, pickle.load(f))
+        return self._grain_it
+
+    def _grain_state_path(self, step: int) -> str:
+        # per-step files (not one mutable blob): orbax saves are async, so
+        # after a preemption the restored step can be OLDER than the last
+        # save attempt — the iterator state must match the restored step
+        return os.path.join(self.ckpt.ckpt_dir, f"grain_state_{step}.bin")
+
+    def _save_ckpt(self, step: int, state, metrics=None, is_best=False):
+        """Checkpoint the train state and, for the grain loader, the data
+        iterator state beside it (atomic rename) — both halves of exact
+        resume."""
+        self.ckpt.save(step, state, metrics, is_best=is_best)
+        it = getattr(self, "_grain_it", None)
+        if it is not None:
+            from metaasr_tpu.data.grain_loader import save_iterator_state
+
+            blob = save_iterator_state(it)
+            if blob is not None:
+                import pickle
+
+                tmp = self._grain_state_path(step) + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(blob, f)
+                os.replace(tmp, self._grain_state_path(step))
+                # prune states with no surviving checkpoint dir
+                import glob
+                import re
+
+                for p in glob.glob(os.path.join(
+                        self.ckpt.ckpt_dir, "grain_state_*.bin")):
+                    m = re.search(r"grain_state_(\d+)\.bin$", p)
+                    if m and int(m.group(1)) < step - \
+                            self.cfg.train.keep_ckpts * \
+                            max(self.cfg.train.ckpt_every, 1):
+                        os.remove(p)
+
     def train(self, max_steps: int | None = None) -> TrainState:
         import numpy as np
 
@@ -118,8 +183,13 @@ class MonoASRTrainer:
         # would sync the device per step and stall the dispatch pipeline
         # (see MetaASRTrainer.meta_train)
         step = int(state.step)
-        for batch in self.batcher.iter_from(step):
-            if step >= max_steps:
+        feed = iter(self._make_feed(step))
+        while step < max_steps:
+            # bound check BEFORE fetching: pulling one batch past max_steps
+            # would advance the (checkpointed) grain iterator state by a
+            # batch the run never consumed, breaking exact resume
+            batch = next(feed, None)
+            if batch is None:
                 break
             state, metrics = self._jit_step(
                 state, jax.device_put(device_batch(batch)))
@@ -141,13 +211,13 @@ class MonoASRTrainer:
                 state = state.replace(
                     best_metric=np.asarray(min(cur, best), np.float32),
                     stale_evals=np.asarray(stale, np.int32))
-                self.ckpt.save(step, state, dev, is_best=is_best)
+                self._save_ckpt(step, state, dev, is_best=is_best)
                 if cfg.early_stop_patience and stale >= cfg.early_stop_patience:
                     self.logger.log(step, {"early_stop": 1.0})
                     break
             elif step % cfg.ckpt_every == 0:
-                self.ckpt.save(step, state)
-        self.ckpt.save(int(state.step), state)
+                self._save_ckpt(step, state)
+        self._save_ckpt(int(state.step), state)
         self.ckpt.wait()
         return state
 

@@ -161,3 +161,38 @@ def test_accent_dataset_split(synthetic_data_dir):
     # deterministic
     tr2, dv2 = ds.split(0.25, seed=1)
     assert {u.utt_id for u in dv2.manifest.utts} == ids_dv
+
+
+def test_hard_synthetic_profile(tmp_path):
+    """The de-saturated quality regime (VERDICT r2 #3): 16 accents with
+    overlapping transforms, confusable char spacing, noise floor."""
+    from metaasr_tpu.data.synthetic import (
+        ACCENTS_HARD,
+        LEXICON_HARD,
+        _accent_params,
+        generate_dataset,
+    )
+
+    assert len(ACCENTS_HARD) >= 12
+    assert len(LEXICON_HARD) > 60
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    easy = [_accent_params(i, rng)["pitch"] for i in range(8)]
+    hard = [_accent_params(i, rng, "hard")["pitch"] for i in range(16)]
+    # hard transforms sit closer together than easy ones
+    assert (np.diff(sorted(hard)).mean() < np.diff(sorted(easy)).mean())
+    p = _accent_params(3, rng, "hard")
+    assert p["noise"] > 0.05 and p["char_hz"] < 20
+    generate_dataset(str(tmp_path), accents=ACCENTS_HARD[:3],
+                     utts_per_accent=2, words_per_utt=(3, 4), seed=0,
+                     profile="hard")
+    import json
+    import os
+
+    for a in ACCENTS_HARD[:3]:
+        lines = open(os.path.join(str(tmp_path), f"{a}.jsonl")).read().strip()
+        utts = [json.loads(l) for l in lines.splitlines()]
+        assert len(utts) == 2
+        assert all(len(u["text"].split()) >= 3 for u in utts)
+        assert os.path.exists(os.path.join(str(tmp_path), utts[0]["wav"]))

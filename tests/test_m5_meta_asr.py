@@ -95,3 +95,33 @@ def test_reptile_meta_train_smoke(synthetic_data_dir, tmp_path):
     adapted, test_idx = trainer.meta_adapt(state.params, ds, adapt_steps=2)
     scores = trainer.decode(adapted, ds, test_idx, max_utts=4)
     assert 0.0 <= scores["wer"] <= 2.0
+
+
+def test_eval_heldout_averages_support_draws(synthetic_data_dir, tmp_path):
+    """eval_heldout must average over train.eval_support_draws independent
+    k-shot support draws (single-draw WER noise is the same order as the
+    metric) and report the per-accent std across draws."""
+    trainer, cfg = _make_trainer(synthetic_data_dir, tmp_path / "draws",
+                                 "fomaml")
+    cfg.train.eval_support_draws = 3
+    cfg.train.eval_decode_mode = "greedy"
+    cfg.train.eval_max_utts = 4
+    state = trainer.init_state()
+
+    seen_seeds = []
+    orig_adapt = trainer.meta_adapt
+
+    def spy_adapt(params, ds, adapt_steps=None, k_support=None, seed=0):
+        seen_seeds.append(seed)
+        return orig_adapt(params, ds, adapt_steps=1, k_support=k_support,
+                          seed=seed)
+
+    trainer.meta_adapt = spy_adapt
+    out = trainer.eval_heldout(state.params)
+    assert seen_seeds == [0, 1, 2], "one adapt per draw with distinct seeds"
+    assert "heldout_delta_wer" in out and "heldout_delta_wer_std" in out
+    assert 0.0 <= out["heldout_wer_mean"] <= 2.0
+    # explicit override wins over the config value
+    seen_seeds.clear()
+    trainer.eval_heldout(state.params, support_draws=1)
+    assert seen_seeds == [0]

@@ -190,3 +190,66 @@ def test_true_multiprocess_feeding_matches_single_process():
                          text=True, timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+
+
+def test_grain_loader_wired_trainer_exact_resume(synthetic_data_dir, tmp_path):
+    """data.loader=grain drives MonoASRTrainer end-to-end, and a
+    checkpoint-interrupted run (2+2 steps, iterator state restored from
+    grain_state_<step>.bin) matches the uninterrupted 4-step run
+    bit-for-bit."""
+    pytest.importorskip("grain")
+    import os
+
+    from metaasr_tpu.train.mono import MonoASRTrainer
+    from metaasr_tpu.train.task import ASRTask
+    from tests.test_m2_models import tiny_cfg
+
+    def make(workdir):
+        tok = CharTokenizer.ascii_default()
+        cfg = tiny_cfg("vgg_blstm", vocab=tok.vocab_size)
+        cfg.data.loader = "grain"
+        cfg.data.batch_size = 4
+        cfg.data.max_frames = 120
+        cfg.data.max_tokens = 16
+        cfg.train.log_every = 10**9
+        cfg.train.eval_every = 10**9
+        cfg.train.ckpt_every = 2
+        cfg.optimizer.schedule = "constant"
+        cfg.optimizer.lr = 1e-3
+        dsets = load_accent_datasets(synthetic_data_dir, tok)
+        task = ASRTask(cfg, tok.sos_eos_id)
+        return MonoASRTrainer(cfg, task, list(dsets.values())[:2], None,
+                              tok, workdir)
+
+    full = make(str(tmp_path / "full")).train(max_steps=4)
+
+    t1 = make(str(tmp_path / "resumed"))
+    t1.train(max_steps=2)
+    assert os.path.exists(os.path.join(t1.ckpt.ckpt_dir,
+                                       "grain_state_2.bin"))
+    t2 = make(str(tmp_path / "resumed"))
+    resumed = t2.train(max_steps=4)
+    assert int(resumed.step) == 4
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_multiprocess_meta_trainer_end_to_end():
+    """2 real processes drive MetaASRTrainer.meta_train itself (streaming
+    _batch_feed, orbax save at step 2, restore-resume to step 4 in a fresh
+    trainer); the 4-step loss trajectory must match single-process
+    (scripts/multihost_trainer_smoke.py)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost_trainer_smoke.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout

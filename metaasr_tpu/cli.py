@@ -151,6 +151,12 @@ def main(argv=None):
 
         nan_check(True)
 
+    if args.use_best and args.avg_last:
+        raise SystemExit(
+            "--use-best and --avg-last are mutually exclusive: averaging "
+            "the last N checkpoints would overwrite the restored best "
+            "params — pick one")
+
     # resume/adapt/test default to the run's own recorded config: without
     # this, a second invocation with different flags silently overwrites
     # workdir/config.yaml and can make the checkpoint unrestorable (e.g. a
@@ -206,11 +212,6 @@ def main(argv=None):
         return 0
 
     # adapt/test need a checkpoint
-    if args.use_best and args.avg_last:
-        raise SystemExit(
-            "--use-best and --avg-last are mutually exclusive: averaging "
-            "the last N checkpoints would overwrite the restored best "
-            "params — pick one")
     state = trainer.init_state()
     template = state
     if args.use_best:

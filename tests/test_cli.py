@@ -52,3 +52,15 @@ def test_cli_train_then_adapt(synthetic_data_dir, tmp_path):
                "--workdir", wd, "--data-dir", synthetic_data_dir,
                "--use-best"])
     assert rc == 0
+
+
+def test_cli_use_best_and_avg_last_conflict(tmp_path):
+    """--use-best + --avg-last must error (the avg-last branch would
+    silently overwrite the restored best params)."""
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["--mode", "adapt", "--workdir", str(tmp_path),
+              "--use-best", "--avg-last", "3",
+              "-o", "model.d_model=32", "-o", "model.num_heads=2",
+              "-o", "model.d_ff=64", "-o", "model.num_encoder_layers=2",
+              "-o", "model.num_decoder_layers=2",
+              "-o", "frontend.use_pallas=false"])

@@ -88,3 +88,29 @@ def test_pallas_lstm_matches_scan(rng):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_fbank_jit_two_shapes_no_tracer_leak():
+    """Regression (found by scripts/kernel_check.py on chip): the padded
+    DFT/mel matrix cache stored jnp values — when the first call happened
+    inside a jit trace, a tracer was cached and leaked into the next
+    distinct-shape trace (UnexpectedTracerError). The cache must hold host
+    arrays."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metaasr_tpu.frontend import pallas_fbank as pf
+    from metaasr_tpu.frontend.fbank import FbankParams
+
+    params = FbankParams.create()
+    pf._matrix_cache.pop(id(params), None)  # force first build inside jit
+    rng = np.random.default_rng(0)
+    for n in (8000, 12800):  # two distinct shapes -> two traces
+        audio = jnp.asarray(0.1 * rng.standard_normal((2, n)), jnp.float32)
+        lens = jnp.full((2,), n, jnp.int32)
+        feats, flens = jax.jit(
+            lambda a, l: pf.pallas_log_mel_fbank(a, l, params))(audio, lens)
+        assert np.isfinite(np.asarray(feats)).all()
+    assert all(isinstance(m, np.ndarray)
+               for m in pf._matrix_cache[id(params)])

@@ -116,15 +116,29 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
                 params, opt_state, loss = step(params, opt_state,
                                                meta_batch, key)
             jax.block_until_ready(loss)
-    # Throughput methodology: enqueue all steps, block once — measures
-    # sustained device time (the training loop overlaps host dispatch),
-    # not per-step host sync latency.
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key = jax.random.fold_in(key, i)
-        params, opt_state, loss = step(params, opt_state, meta_batch, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
+    # Throughput methodology: enqueue all steps, then FORCE completion by
+    # reading the final step's loss to the host inside the timed region
+    # (one scalar D2H, negligible vs steps*27ms). block_until_ready alone
+    # is NOT sufficient on this attachment: the axon runtime has been
+    # observed returning from it before execution drains, under-measuring
+    # 4-12x (impossible MFU >1). A host value read is the only reliable
+    # completion barrier; verified stable across reps and consistent with
+    # a one-dispatch lax.scan of N steps (26.6-27.0 ms/step for the bench
+    # workload both ways). Enqueued and per-step-blocked stepping produce
+    # bit-identical params, so only timing was affected. Median of three
+    # passes: robust both to the early-return under-measure (a too-fast
+    # pass) and to a one-off attachment stall over-measuring a pass (the
+    # axon tunnel takes tens of minutes to recover if a previous client
+    # was killed mid-device-op, and that stall lands inside one pass).
+    dts = []
+    for p in range(3):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            key = jax.random.fold_in(key, 10 * p + i)
+            params, opt_state, loss = step(params, opt_state, meta_batch, key)
+        _ = float(loss)
+        dts.append((time.perf_counter() - t0) / steps)
+    dt = sorted(dts)[1]
     utts = m_tasks * (k_shot * INNER_STEPS + k_shot)
     kind = jax.devices()[0].device_kind.lower()
     # dense bf16 peak per chip: v5e 197 TF, v4 275 TF, v5p 459 TF

@@ -129,12 +129,19 @@ def measure(steps: int = 8) -> float:
     jax.block_until_ready(params)
     params, opt_state = meta_step(params, opt_state, key)  # warmup
     jax.block_until_ready(params)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt_state = meta_step(params, opt_state,
-                                      jax.random.fold_in(key, i))
-    jax.block_until_ready(params)
-    dt = (time.perf_counter() - t0) / steps
+    # median of three timed passes; completion forced by a host read of a
+    # param element — block_until_ready alone can return early on this
+    # attachment, and a one-off tunnel stall can poison a single pass
+    # (see bench.py timing note)
+    dts = []
+    for p in range(3):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            params, opt_state = meta_step(params, opt_state,
+                                          jax.random.fold_in(key, 10 * p + i))
+        _ = float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
+        dts.append((time.perf_counter() - t0) / steps)
+    dt = sorted(dts)[1]
     utts = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
     return utts / dt
 

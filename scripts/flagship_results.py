@@ -78,7 +78,10 @@ def _mean_std(vals):
 
 
 def evaluate(meta_tr, state_params, ds, tag, results, avg_params=None):
-    zs_idx = list(range(len(ds)))[8:]
+    # skip the first 8 utts (typical support draws) unless the dataset is
+    # too small to leave a scoring set
+    zs_idx = list(range(len(ds)))
+    zs_idx = zs_idx[8:] if len(zs_idx) > 8 else zs_idx
     entry = {}
     entry["zero_shot_greedy"] = meta_tr.decode(state_params, ds, zs_idx,
                                                max_utts=64)
@@ -117,6 +120,8 @@ def main():
     ap.add_argument("--profile", choices=("easy", "hard"), default="hard")
     ap.add_argument("--algos", default="fomaml,multi",
                     help="comma list from fomaml,maml,reptile,multi")
+    ap.add_argument("--tiny", action="store_true",
+                    help="debug: tiny model dims (CPU-runnable script check)")
     args = ap.parse_args()
 
     data_dir = args.data_dir or f"/tmp/flagship_synth_{args.profile}"
@@ -135,6 +140,15 @@ def main():
     for algo in args.algos.split(","):
         cfg = make_cfg(algo, args.steps, data_dir)
         cfg.model.vocab_size = tok.vocab_size
+        if args.tiny:
+            cfg.model.d_model, cfg.model.num_heads = 32, 2
+            cfg.model.d_ff = 64
+            cfg.model.num_encoder_layers = 2
+            cfg.model.num_decoder_layers = 2
+            cfg.model.dtype = "float32"
+            cfg.frontend.use_pallas = False
+            cfg.meta.tasks_per_batch = 2
+            cfg.data.max_frames = 200
         dsets = load_accent_datasets(data_dir, tok)
         heldout = {HELDOUT: dsets.pop(HELDOUT)}
         task = ASRTask(cfg, tok.sos_eos_id)

@@ -192,6 +192,16 @@ def cmd_vocab(args):
 
 
 def main():
+    # Data prep is CPU-only by design: offline feature extraction must not
+    # queue on (or hang with) the TPU attachment, and the axon
+    # sitecustomize re-pins JAX_PLATFORMS at interpreter start so the env
+    # var alone is not enough (see tests/conftest.py).
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     p = argparse.ArgumentParser("prepare_data")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -156,8 +156,16 @@ def main():
                       argnums=(0, 1))(gx, u)
         gs = jax.grad(lambda a, b: jax.jit(scan_lstm_ref)(a, b).sum(),
                       argnums=(0, 1))(gx, u)
-        check("lstm grad gx", gp[0], gs[0], rtol=1e-3, atol=1e-4)
-        check("lstm grad u", gp[1], gs[1], rtol=1e-3, atol=1e-4)
+        # Criterion: these grads are O(20-70) in magnitude (sum-loss over
+        # 64 steps), so elementwise atol must be scale-aware. On-chip
+        # control (2026-08-17): scan-grad at default matmul precision vs
+        # scan-grad at HIGHEST differs by l2rel 3.9-5.7e-3 (the inherent
+        # bf16-pass noise of TPU f32 matmuls); the pallas custom-BPTT grad
+        # vs default-precision scan agrees to l2rel ~1.1-1.4e-4 — 40x
+        # inside the precision-noise floor, i.e. the kernel backward is
+        # exact up to contraction-order rounding.
+        check("lstm grad gx", gp[0], gs[0], l2rel=1e-3, atol=5e-2)
+        check("lstm grad u", gp[1], gs[1], l2rel=1e-3, atol=5e-2)
     except ImportError as e:
         print(f"  SKIP lstm ({e})")
 

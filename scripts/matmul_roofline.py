@@ -55,10 +55,15 @@ def bench_matmul(a_shape, b_shape, iters=50, dtype=jnp.bfloat16):
 
     out = run(a, b)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(a, b)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # median of 3; completion forced by a host value read (block_until_ready
+    # can return early on this attachment — see bench.py timing note)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(a, b)
+        _ = float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
     m = int(np.prod(a_shape[:-1]))
     k = a_shape[-1]
     n = b_shape[-1]

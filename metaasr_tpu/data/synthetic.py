@@ -66,9 +66,16 @@ def _accent_params(accent_idx: int, rng: np.random.Generator,
             "rate": 1.0 + 0.14 * ((((accent_idx * 5) % 8) - 3.5) / 3.5),
             "tilt": 0.40 + 0.07 * ((accent_idx * 3) % 5),
             "env_phase": 2 * np.pi * ((accent_idx * 11) % n) / n,
-            "noise": 0.08,
+            # noise + per-utterance rate jitter are the IRREDUCIBLE
+            # ambiguity: adaptation identifies the accent transform but
+            # cannot remove per-utterance jitter or the noise floor, so
+            # they set the floor of the adapted-model WER. Calibrated on
+            # the real chip: at 0.08/0.06 the flagship FOMAML 5-shot beam
+            # WER re-saturated to ~0.013 (greedy 0.34); this notch puts
+            # it in the 0.05-0.3 resolution band VERDICT r2 #3 asks for.
+            "noise": 0.13,
             "char_hz": 14.0,
-            "rate_jitter": 0.06,
+            "rate_jitter": 0.10,
             "harmonics": 4,
         }
     return {

@@ -65,6 +65,12 @@ class BeamSearchConfig:
     # early. 0 = off (the common setting).
     coverage_weight: float = 0.0
     coverage_tau: float = 0.5
+    # suppress eos proposals for alive hypotheses while step < min_len —
+    # the static-shape analogue of ESPnet's minlenratio (we take absolute
+    # lengths, not ratios, because shapes are compile-time constants).
+    # Also pins the decode loop to exactly max_len steps when set equal
+    # to it (scripts/decode_bench.py uses that for deterministic timing).
+    min_len: int = 0
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
@@ -237,6 +243,10 @@ def batched_beam_search(decoder_step_fn, init_caches,
                                  ctc_complete[:, :, None], ctc_ext)
         scores = (1 - w) * att_new + w * cand_ctc
         scores = scores + cfg.length_penalty * (state["length"] + 1)[:, :, None]
+        if cfg.min_len > 0:
+            # minlenratio analogue: alive hypotheses may not end yet
+            scores = jnp.where((step_idx < cfg.min_len) & is_eos_slot,
+                               NEG, scores)
         if cand is None:
             scores = scores.at[:, :, cfg.blank_id].set(NEG)  # never emit blank
         # dead hyps propose nothing; finished hyps propose only frozen self

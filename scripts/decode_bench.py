@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Batched on-device beam-search decode throughput (the README decode row).
+
+Times `beam_search_transformer` on the flagship model (d=256, 12 enc /
+6 dec, vocab 30) at 4 s-utterance shapes (T=400 fbank frames -> 99
+encoder frames), beam 10, with `min_len=max_len=48` so the early-exit
+while_loop runs ALL 48 decoder steps — deterministic worst-case timing
+independent of what random-param hypotheses do (the early exit makes
+real decodes faster, never slower).
+
+Timing: median of 3 passes, completion forced by a host value read
+(block_until_ready can return early on this attachment; see bench.py).
+
+Run on the TPU machine: python scripts/decode_bench.py
+Prints one JSON line per batch size; the B=16 row is the README number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from metaasr_tpu.decode.beam_search import (BeamSearchConfig,
+                                            beam_search_transformer)
+from metaasr_tpu.models.transformer import TransformerASR
+
+VOCAB = 30
+EOS = VOCAB - 1
+T_FEAT = 400          # 4 s at 10 ms hop
+AUDIO_SEC = 4.0
+STEPS = 48
+
+
+def measure(bsz: int, beam: int = 10) -> dict:
+    rng = np.random.default_rng(0)
+    model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
+                           d_ff=2048, num_encoder_layers=12,
+                           num_decoder_layers=6, dropout=0.0,
+                           dtype=jnp.bfloat16)
+    feats = jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)),
+                        jnp.float32)
+    lens = jnp.full((bsz,), T_FEAT, jnp.int32)
+    toks = jnp.asarray(rng.integers(1, EOS, (bsz, 8)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens,
+                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=EOS),
+                        jnp.full((bsz,), 9, jnp.int32))["params"]
+    cfg = BeamSearchConfig(beam_size=beam, max_len=STEPS, min_len=STEPS,
+                           ctc_weight=0.3)
+
+    run = jax.jit(lambda p, f, l: beam_search_transformer(
+        model, p, f, l, EOS, cfg))
+    out = run(params, feats, lens)
+    jax.block_until_ready(out)          # compile
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(params, feats, lens)
+        _ = int(np.asarray(out["lengths"])[0, 0])
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
+    return {"batch": bsz, "beam": beam, "decode_steps": STEPS,
+            "ms_per_batch": round(dt * 1e3, 1),
+            "utts_per_sec": round(bsz / dt, 1),
+            "rtf": round(dt / (bsz * AUDIO_SEC), 5)}
+
+
+def main():
+    for bsz in (16, 64):
+        print(json.dumps(measure(bsz)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

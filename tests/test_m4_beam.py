@@ -304,3 +304,21 @@ def test_coverage_penalty_reranks_and_preserves_set(rng):
                                    np.asarray(cov["lengths"][b]))}
         assert base_set == cov_set
     assert np.asarray(cov["scores"]).max() > NEG / 2
+
+
+def test_min_len_suppresses_early_eos(rng):
+    """min_len (the static-shape minlenratio analogue) must (a) never
+    return a top hypothesis shorter than min_len, (b) be a no-op when the
+    unconstrained top hypothesis is already long enough."""
+    model, params, feats, lens = _model_and_inputs(rng)
+    base = BeamSearchConfig(beam_size=3, max_len=6, ctc_weight=0.3)
+    out0 = beam_search_transformer(model, params, feats, lens, EOS, base)
+    cfg = BeamSearchConfig(beam_size=3, max_len=6, ctc_weight=0.3, min_len=4)
+    out = beam_search_transformer(model, params, feats, lens, EOS, cfg)
+    for b in range(feats.shape[0]):
+        for k in range(3):
+            assert int(out["lengths"][b, k]) >= 4
+        if int(out0["lengths"][b, 0]) >= 4:
+            np.testing.assert_allclose(np.asarray(out0["scores"][b, 0]),
+                                       np.asarray(out["scores"][b, 0]),
+                                       rtol=1e-5)

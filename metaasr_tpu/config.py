@@ -168,6 +168,9 @@ class TrainConfig:
     beam_size: int = 10
     decode_ctc_weight: float = 0.3
     length_penalty: float = 0.0
+    # suppress eos while decode step < beam_min_len (static-shape
+    # analogue of ESPnet's minlenratio; 0 = off)
+    beam_min_len: int = 0
     # CTC-score only the top-N attention candidates per hypothesis
     # (ESPnet candidate pruning; 0 = full vocab)
     ctc_candidates: int = 0

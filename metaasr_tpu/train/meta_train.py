@@ -409,7 +409,8 @@ class MetaASRTrainer:
                                ctc_candidates=t.ctc_candidates,
                                normalize_final=t.normalize_final,
                                coverage_weight=t.coverage_weight,
-                               coverage_tau=t.coverage_tau)
+                               coverage_tau=t.coverage_tau,
+                               min_len=t.beam_min_len)
         if "feats" in batch:
             feats = jnp.asarray(batch["feats"])
             feat_lens = jnp.asarray(batch["feat_lens"])

@@ -64,3 +64,32 @@ def test_cli_use_best_and_avg_last_conflict(tmp_path):
               "-o", "model.d_ff=64", "-o", "model.num_encoder_layers=2",
               "-o", "model.num_decoder_layers=2",
               "-o", "frontend.use_pallas=false"])
+
+
+@pytest.mark.slow
+def test_cli_train_with_bpe_vocab(synthetic_data_dir, tmp_path):
+    """data.vocab=bpe through the CLI: builds the BPE vocab from the
+    corpus, saves vocab_bpe.json, and trains end-to-end with it —
+    the unit-tested BPETokenizer exercised on the real user surface."""
+    wd = str(tmp_path / "run_bpe")
+    rc = main([
+        "--mode", "train", "--algo", "fomaml", "--workdir", wd,
+        "--max-steps", "2", "--data-dir", synthetic_data_dir,
+        "-o", "data.vocab=bpe",
+        "-o", "model.d_model=32", "-o", "model.num_heads=2",
+        "-o", "model.d_ff=64", "-o", "model.num_encoder_layers=2",
+        "-o", "model.num_decoder_layers=2", "-o", "model.dtype=float32",
+        "-o", "meta.tasks_per_batch=2", "-o", "meta.k_support=2",
+        "-o", "meta.k_query=2", "-o", "meta.inner_steps=2",
+        "-o", "data.max_frames=200", "-o", "data.max_tokens=16",
+        "-o", "data.heldout_accents=delta",
+        "-o", "frontend.use_pallas=false",
+        "-o", "train.eval_every=1000000", "-o", "train.ckpt_every=1000000",
+        "-o", "train.prng_impl=", "-o", "optimizer.schedule=constant",
+    ])
+    assert rc == 0
+    import json as _json
+
+    vocab = _json.load(open(
+        os.path.join(synthetic_data_dir, "vocab_bpe.json")))
+    assert vocab  # corpus-derived merges persisted for later invocations

@@ -53,8 +53,10 @@ CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "configs", "config3_fomaml.yaml")
 
 
-def make_cfg(algo: str, steps: int, data_dir: str):
+def make_cfg(algo: str, steps: int, data_dir: str, seed: int = 0):
     cfg = load_config(CFG, {
+        "train.seed": seed,       # param init + dropout/SpecAugment PRNG
+        "data.seed": seed,        # task/batch sampling stream
         "meta.algo": algo if algo != "multi" else "fomaml",
         "data.data_dir": data_dir,
         "data.heldout_accents": HELDOUT,
@@ -120,6 +122,9 @@ def main():
     ap.add_argument("--profile", choices=("easy", "hard"), default="hard")
     ap.add_argument("--algos", default="fomaml,multi",
                     help="comma list from fomaml,maml,reptile,multi")
+    ap.add_argument("--seed", type=int, default=0,
+                help="training seed (train.seed); results keyed "
+                     "algo@seedN for N>0")
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny model dims (CPU-runnable script check)")
     args = ap.parse_args()
@@ -138,7 +143,7 @@ def main():
 
     results = {"profile": args.profile, "steps": args.steps}
     for algo in args.algos.split(","):
-        cfg = make_cfg(algo, args.steps, data_dir)
+        cfg = make_cfg(algo, args.steps, data_dir, seed=args.seed)
         cfg.model.vocab_size = tok.vocab_size
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
@@ -152,12 +157,14 @@ def main():
         dsets = load_accent_datasets(data_dir, tok)
         heldout = {HELDOUT: dsets.pop(HELDOUT)}
         task = ASRTask(cfg, tok.sos_eos_id)
-        wd = os.path.join(args.workdir, f"{args.profile}_{algo}")
+        tag = algo if args.seed == 0 else f"{algo}@seed{args.seed}"
+        wd = os.path.join(args.workdir,
+                          f"{args.profile}_{tag}")
         t0 = time.time()
         if algo == "multi":
             trainer = MultitaskASRTrainer(cfg, task, dsets, None, tok, wd)
             state = trainer.train(max_steps=args.steps)
-            cfg2 = make_cfg("fomaml", args.steps, data_dir)
+            cfg2 = make_cfg("fomaml", args.steps, data_dir, seed=args.seed)
             cfg2.model.vocab_size = tok.vocab_size
             meta_tr = MetaASRTrainer(cfg2, task, dsets, heldout, tok,
                                      wd + "_eval")
@@ -171,9 +178,9 @@ def main():
                           if algo == "fomaml" else None)
         train_s = round(time.time() - t0, 1)
         print(f"[{algo}] trained {args.steps} steps in {train_s}s", flush=True)
-        evaluate(meta_tr, state.params, heldout[HELDOUT], algo, results,
+        evaluate(meta_tr, state.params, heldout[HELDOUT], tag, results,
                  avg_params=avg_params)
-        results[algo]["train_seconds"] = train_s
+        results[tag]["train_seconds"] = train_s
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 

@@ -265,3 +265,17 @@ def test_multiprocess_meta_trainer_end_to_end():
                          text=True, timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+
+
+def test_default_backend_responsive_fast_path():
+    """With jax backends already live in-process (CI's CPU backend), the
+    responsiveness check must answer True immediately via the in-process
+    fast path — no subprocess probe (which costs a full jax import)."""
+    import time
+
+    import __graft_entry__ as g
+
+    jax.devices()  # ensure backends are initialized
+    t0 = time.perf_counter()
+    assert g._default_backend_responsive(timeout_s=0.001) is True
+    assert time.perf_counter() - t0 < 1.0

@@ -86,7 +86,11 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     opt_state = optimizer.init(params)
     grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
         inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
-        remat_inner=True, unroll_inner=True), preprocess_fn=task.preprocess)
+        remat_inner=True, unroll_inner=True,
+        # experiment hook (not set by the driver): BENCH_GRAD_DTYPE=bfloat16
+        # measures the low-precision meta-step (meta/maml.py grad_dtype)
+        grad_dtype=os.environ.get("BENCH_GRAD_DTYPE") or None),
+        preprocess_fn=task.preprocess)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, mb, key):

@@ -107,6 +107,11 @@ class MetaConfig:
     unroll_inner: bool = True      # unroll the inner lax.scan (avoids XLA
                                    # while-carry copies of the per-task param
                                    # tree; +14% meta-step on v5e at 3 steps)
+    grad_dtype: str = "float32"    # EXPERIMENTAL "bfloat16": run the whole
+                                   # meta-step (fast weights + outer backward)
+                                   # in bf16, converting to the fp32 masters
+                                   # once per leaf (see meta/maml.py
+                                   # MetaAlgoConfig.grad_dtype)
 
 
 @dataclass

@@ -60,6 +60,18 @@ class MetaAlgoConfig:
     # unrolling lets updates fuse into consumers. Costs compile time
     # proportional to inner_steps — sensible for the usual 3-5 steps.
     unroll_inner: bool = False
+    # EXPERIMENTAL low-precision meta-step: when set (e.g. "bfloat16"),
+    # the fp32 master params are cast ONCE at the top of the meta-step and
+    # the whole inner loop (fast weights, their SGD updates) plus the
+    # outer backward run in that dtype; the outer gradient is cast back to
+    # the master dtype just before the optimizer. Motivation: the bench
+    # trace shows ~13% of step time in bf16->f32 convert+reduce fusions —
+    # gradient accumulation into fp32 leaf gradients at every param use
+    # site (docs/PROFILE.md). A top-level cast moves that to ONE convert
+    # per leaf. fp32 masters + Adam state are unchanged; only the
+    # meta-step's internal precision drops (fast-weight updates quantized
+    # to bf16). Default off; quality parity must be checked per workload.
+    grad_dtype: str | None = None
 
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
@@ -72,6 +84,32 @@ MAX_UNROLL_STEPS = 8
 
 def sgd_update(params, grads, lr):
     return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+
+def _cast_floats(tree, dtype):
+    """Cast floating leaves to ``dtype`` (non-float leaves untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def _low_precision_wrap(cfg: MetaAlgoConfig, grad_fn):
+    """Apply cfg.grad_dtype around a ``(params, meta_batch, rng) ->
+    (grads, metrics)`` function: params cast down once on entry, gradients
+    cast back to each master leaf's dtype on exit (see MetaAlgoConfig
+    .grad_dtype)."""
+    if cfg.grad_dtype is None:
+        return grad_fn
+    dtype = jnp.dtype(cfg.grad_dtype)
+
+    def wrapped(params, meta_batch, rng):
+        grads, metrics = grad_fn(_cast_floats(params, dtype),
+                                 meta_batch, rng)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(jnp.asarray(p).dtype), grads, params)
+        return grads, metrics
+
+    return wrapped
 
 
 def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
@@ -194,7 +232,7 @@ def reptile_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
         }
         return grads, metrics
 
-    return grad_fn
+    return _low_precision_wrap(cfg, grad_fn)
 
 
 def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
@@ -214,4 +252,4 @@ def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
         }
         return grads, metrics
 
-    return grad_fn
+    return _low_precision_wrap(cfg, grad_fn)

@@ -60,7 +60,9 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo != "maml"),
                           remat_inner=cfg.meta.remat_inner,
-                          unroll_inner=cfg.meta.unroll_inner)
+                          unroll_inner=cfg.meta.unroll_inner,
+                          grad_dtype=(None if cfg.meta.grad_dtype == "float32"
+                                      else cfg.meta.grad_dtype))
 
 
 class MetaASRTrainer:

@@ -200,3 +200,41 @@ def test_reptile_gradient_analytic():
         np.testing.assert_allclose(np.asarray(grads["w"]),
                                    np.asarray(expect), rtol=1e-5, atol=1e-6)
         assert np.isfinite(float(metrics["meta_loss"]))
+
+
+def test_grad_dtype_bf16_meta_step():
+    """grad_dtype="bfloat16" runs the meta-step's internals in bf16 (the
+    one-convert-per-leaf experiment, meta/maml.py MetaAlgoConfig.grad_dtype)
+    but must (a) return gradients in the MASTER dtype (fp32) so the optax
+    tree update is exact, (b) agree with the fp32 path to bf16 precision,
+    for both maml_grads and reptile_grads."""
+    from metaasr_tpu.meta.maml import reptile_grads
+
+    def dquad_loss(params, batch, rng, train):
+        # dtype-preserving, batched variant: batch constants follow the
+        # param dtype (the ASR loss casts its inputs to the model compute
+        # dtype the same way), so the graph really runs in params'
+        # precision; batch axis so reptile's support|query concat works
+        del rng, train
+        diff = params["w"][None] - batch["c"].astype(params["w"].dtype)
+        return 0.5 * (diff * diff).sum(-1).mean(), {}
+
+    rng = np.random.default_rng(7)
+    d, k, m_tasks = 5, 2, 3
+    w = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    cs = jnp.asarray(rng.standard_normal((m_tasks, k, d)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((m_tasks, k, d)).astype(np.float32))
+    mb = {"support": {"c": cs}, "query": {"c": cq}}
+    for make in (maml_grads, reptile_grads):
+        base = make(dquad_loss, MetaAlgoConfig(inner_lr=0.1, inner_steps=3,
+                                               first_order=True))
+        low = make(dquad_loss, MetaAlgoConfig(inner_lr=0.1, inner_steps=3,
+                                              first_order=True,
+                                              grad_dtype="bfloat16"))
+        g32, _ = base({"w": w}, mb, jax.random.PRNGKey(0))
+        g16, metrics = low({"w": w}, mb, jax.random.PRNGKey(0))
+        assert g16["w"].dtype == jnp.float32           # cast back to master
+        # internals actually ran in bf16 (metrics come from the cast graph)
+        assert metrics["meta_loss"].dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g16["w"]), np.asarray(g32["w"]),
+                                   rtol=0.05, atol=0.02)  # bf16 ~8-bit mantissa

@@ -32,6 +32,12 @@ import numpy as np
 
 import jax
 
+_p = os.environ.get("JAX_PLATFORMS")
+if _p:
+    # the axon sitecustomize re-pins jax_platforms at interpreter start;
+    # honor the caller's env choice (same dance as tests/conftest.py) so
+    # JAX_PLATFORMS=cpu really runs the tiny/debug mode off the chip
+    jax.config.update("jax_platforms", _p)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
@@ -53,8 +59,10 @@ CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "configs", "config3_fomaml.yaml")
 
 
-def make_cfg(algo: str, steps: int, data_dir: str, seed: int = 0):
+def make_cfg(algo: str, steps: int, data_dir: str, seed: int = 0,
+             grad_dtype: str = "float32"):
     cfg = load_config(CFG, {
+        "meta.grad_dtype": grad_dtype,
         "train.seed": seed,       # param init + dropout/SpecAugment PRNG
         "data.seed": seed,        # task/batch sampling stream
         "meta.algo": algo if algo != "multi" else "fomaml",
@@ -122,6 +130,10 @@ def main():
     ap.add_argument("--profile", choices=("easy", "hard"), default="hard")
     ap.add_argument("--algos", default="fomaml,multi",
                     help="comma list from fomaml,maml,reptile,multi")
+    ap.add_argument("--grad-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="meta.grad_dtype (bf16 meta-step experiment); "
+                         "results keyed algo@bf16 when bfloat16")
     ap.add_argument("--seed", type=int, default=0,
                 help="training seed (train.seed); results keyed "
                      "algo@seedN for N>0")
@@ -143,7 +155,8 @@ def main():
 
     results = {"profile": args.profile, "steps": args.steps}
     for algo in args.algos.split(","):
-        cfg = make_cfg(algo, args.steps, data_dir, seed=args.seed)
+        cfg = make_cfg(algo, args.steps, data_dir, seed=args.seed,
+                       grad_dtype=args.grad_dtype)
         cfg.model.vocab_size = tok.vocab_size
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
@@ -158,13 +171,16 @@ def main():
         heldout = {HELDOUT: dsets.pop(HELDOUT)}
         task = ASRTask(cfg, tok.sos_eos_id)
         tag = algo if args.seed == 0 else f"{algo}@seed{args.seed}"
+        if args.grad_dtype != "float32":
+            tag += "@bf16"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()
         if algo == "multi":
             trainer = MultitaskASRTrainer(cfg, task, dsets, None, tok, wd)
             state = trainer.train(max_steps=args.steps)
-            cfg2 = make_cfg("fomaml", args.steps, data_dir, seed=args.seed)
+            cfg2 = make_cfg("fomaml", args.steps, data_dir, seed=args.seed,
+                            grad_dtype=args.grad_dtype)
             cfg2.model.vocab_size = tok.vocab_size
             meta_tr = MetaASRTrainer(cfg2, task, dsets, heldout, tok,
                                      wd + "_eval")

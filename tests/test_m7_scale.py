@@ -199,7 +199,7 @@ def test_true_multiprocess_feeding_matches_single_process():
     script = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
     out = subprocess.run([sys.executable, script], capture_output=True,
-                         text=True, timeout=900)
+                         text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
 
@@ -262,7 +262,7 @@ def test_multiprocess_meta_trainer_end_to_end():
     script = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scripts", "multihost_trainer_smoke.py")
     out = subprocess.run([sys.executable, script], capture_output=True,
-                         text=True, timeout=900)
+                         text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
 

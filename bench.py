@@ -134,15 +134,23 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     # pass) and to a one-off attachment stall over-measuring a pass (the
     # axon tunnel takes tens of minutes to recover if a previous client
     # was killed mid-device-op, and that stall lands inside one pass).
+    # Adaptive pass count: after a tunnel restart the attachment "warms"
+    # over minutes — a fixed 3-pass median under-reported by ~25% right
+    # after recovery (865 vs 1103 utts/s steady-state, r3). Keep timing
+    # passes until the two fastest agree within 10% (steady state) or 8
+    # passes, then take the median of the final 3.
     dts = []
-    for p in range(3):
+    for p in range(8):
         t0 = time.perf_counter()
         for i in range(steps):
             key = jax.random.fold_in(key, 10 * p + i)
             params, opt_state, loss = step(params, opt_state, meta_batch, key)
         _ = float(loss)
         dts.append((time.perf_counter() - t0) / steps)
-    dt = sorted(dts)[1]
+        s = sorted(dts)
+        if p >= 2 and s[1] / s[0] < 1.10:
+            break
+    dt = sorted(dts[-3:])[1]
     utts = m_tasks * (k_shot * INNER_STEPS + k_shot)
     kind = jax.devices()[0].device_kind.lower()
     # dense bf16 peak per chip: v5e 197 TF, v4 275 TF, v5p 459 TF

@@ -136,9 +136,14 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     # was killed mid-device-op, and that stall lands inside one pass).
     # Adaptive pass count: after a tunnel restart the attachment "warms"
     # over minutes — a fixed 3-pass median under-reported by ~25% right
-    # after recovery (865 vs 1103 utts/s steady-state, r3). Keep timing
-    # passes until the two fastest agree within 10% (steady state) or 8
-    # passes, then take the median of the final 3.
+    # after recovery (865 vs 1103 utts/s steady-state, r3) — and it can
+    # also degrade mid-run, so a trailing window is biased low too. Keep
+    # timing passes until the two fastest agree within 10% (reached
+    # steady state at least twice) or 8 passes, then report the
+    # SECOND-FASTEST pass: the host-read barrier above rules out the
+    # too-fast failure mode, so the fastest passes are the chip's true
+    # steady-state rate, and taking the second guards against any single
+    # spurious outlier.
     dts = []
     for p in range(8):
         t0 = time.perf_counter()
@@ -150,7 +155,7 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
         s = sorted(dts)
         if p >= 2 and s[1] / s[0] < 1.10:
             break
-    dt = sorted(dts[-3:])[1]
+    dt = sorted(dts)[1]
     utts = m_tasks * (k_shot * INNER_STEPS + k_shot)
     kind = jax.devices()[0].device_kind.lower()
     # dense bf16 peak per chip: v5e 197 TF, v4 275 TF, v5p 459 TF

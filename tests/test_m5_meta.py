@@ -238,3 +238,15 @@ def test_grad_dtype_bf16_meta_step():
         assert metrics["meta_loss"].dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(g16["w"]), np.asarray(g32["w"]),
                                    rtol=0.05, atol=0.02)  # bf16 ~8-bit mantissa
+
+
+def test_algo_config_grad_dtype_plumbing():
+    """cfg.meta.grad_dtype reaches MetaAlgoConfig: 'float32' maps to None
+    (no cast graph at all), anything else passes through verbatim."""
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.train.meta_train import algo_config
+
+    cfg = Config()
+    assert algo_config(cfg).grad_dtype is None
+    cfg.meta.grad_dtype = "bfloat16"
+    assert algo_config(cfg).grad_dtype == "bfloat16"

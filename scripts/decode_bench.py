@@ -45,7 +45,7 @@ AUDIO_SEC = 4.0
 STEPS = 48
 
 
-def measure(bsz: int, beam: int = 10) -> dict:
+def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
     rng = np.random.default_rng(0)
     model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
                            d_ff=2048, num_encoder_layers=12,
@@ -59,10 +59,20 @@ def measure(bsz: int, beam: int = 10) -> dict:
                         jnp.pad(toks, ((0, 0), (1, 0)), constant_values=EOS),
                         jnp.full((bsz,), 9, jnp.int32))["params"]
     cfg = BeamSearchConfig(beam_size=beam, max_len=STEPS, min_len=STEPS,
-                           ctc_weight=0.3)
+                           ctc_weight=0.3, lm_weight=lm_weight)
+
+    lm_model = lm_params = None
+    if lm_weight:
+        # flagship-shaped fusion LM (scripts/train_lm.py defaults)
+        from metaasr_tpu.models.lm import LSTMLM
+
+        lm_model = LSTMLM(vocab_size=VOCAB, embed_dim=128, hidden=256,
+                          layers=2)
+        lm_params = lm_model.init(jax.random.PRNGKey(1),
+                                  jnp.zeros((1, 2), jnp.int32))["params"]
 
     run = jax.jit(lambda p, f, l: beam_search_transformer(
-        model, p, f, l, EOS, cfg))
+        model, p, f, l, EOS, cfg, lm_model=lm_model, lm_params=lm_params))
     out = run(params, feats, lens)
     jax.block_until_ready(out)          # compile
     dts = []
@@ -72,15 +82,20 @@ def measure(bsz: int, beam: int = 10) -> dict:
         _ = int(np.asarray(out["lengths"])[0, 0])
         dts.append(time.perf_counter() - t0)
     dt = sorted(dts)[1]
-    return {"batch": bsz, "beam": beam, "decode_steps": STEPS,
-            "ms_per_batch": round(dt * 1e3, 1),
-            "utts_per_sec": round(bsz / dt, 1),
-            "rtf": round(dt / (bsz * AUDIO_SEC), 5)}
+    out = {"batch": bsz, "beam": beam, "decode_steps": STEPS,
+           "ms_per_batch": round(dt * 1e3, 1),
+           "utts_per_sec": round(bsz / dt, 1),
+           "rtf": round(dt / (bsz * AUDIO_SEC), 5)}
+    if lm_weight:
+        out["lm_weight"] = lm_weight
+    return out
 
 
 def main():
     for bsz in (16, 64):
         print(json.dumps(measure(bsz)), flush=True)
+    # fusion overhead: same search with a 2x256 LSTM LM stepped in lockstep
+    print(json.dumps(measure(16, lm_weight=0.3)), flush=True)
 
 
 if __name__ == "__main__":

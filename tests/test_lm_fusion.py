@@ -234,6 +234,40 @@ def test_lm_state_regathered_like_caches(rng):
     assert not np.allclose(np.asarray(out["scores"]), np.asarray(base["scores"]))
 
 
+def test_train_lm_script_end_to_end(tmp_path, synthetic_data_dir):
+    """scripts/train_lm.py: corpus assembly (held-out excluded), training,
+    npz export consumable by lm_dims_from_params."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_lm", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "train_lm.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "lm.npz")
+    path = mod.main(["--config", "configs/config3_fomaml.yaml",
+                     "--out", out, "--steps", "5", "--hidden", "8",
+                     "--embed-dim", "4", "--layers", "1",
+                     "-o", f"data.data_dir={synthetic_data_dir}",
+                     "-o", "data.heldout_accents=delta"])
+    assert path == out
+    params = load_params_npz(out)
+    dims = lm_dims_from_params(params)
+    assert dims["hidden"] == 8 and dims["layers"] == 1
+    # held-out excluded from the corpus
+    texts = mod.lm_corpus(synthetic_data_dir, ("delta",))
+    from metaasr_tpu.data.dataset import Manifest
+    delta_texts = {u.text for u in Manifest.load(
+        os.path.join(synthetic_data_dir, "delta.jsonl")).utts}
+    all_texts = {u.text for a in ("alpha", "bravo", "echo")
+                 for u in Manifest.load(
+                     os.path.join(synthetic_data_dir, f"{a}.jsonl")).utts}
+    only_delta = delta_texts - all_texts
+    assert only_delta.isdisjoint(set(texts))
+
+
 @pytest.mark.slow
 def test_trainer_beam_decode_with_fusion_lm(tmp_path, synthetic_data_dir):
     """End to end: train a tiny LM on the synthetic transcripts, save npz,

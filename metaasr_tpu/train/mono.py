@@ -229,6 +229,7 @@ class MonoASRTrainer:
         hyps, refs = [], []
         bsz = self.cfg.data.batch_size
         idx = list(range(min(len(dataset), max_utts)))
+        pending = []       # pipelined dispatch: enqueue all, read after
         for i in range(0, len(idx), bsz):
             items = [dataset[j] for j in idx[i: i + bsz]]
             smax = bucket_length(max(item_samples(it) for it in items),
@@ -236,9 +237,10 @@ class MonoASRTrainer:
             umax = bucket_length(max(len(it["tokens"]) for it in items),
                                  self.batcher.token_buckets)
             batch = collate(items, smax, umax)
-            packed, out_lens = self.task.greedy_batch(params, batch)
-            hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
+            pending.append(self.task.greedy_batch(params, batch))
             refs.extend(batch["texts"])
+        for packed, out_lens in pending:
+            hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
         # decoded text samples (SURVEY.md section 2.1 #19)
         for s in range(min(self.cfg.train.log_text_samples, len(hyps))):
             self.logger.log_text(0, f"sample_{s}",

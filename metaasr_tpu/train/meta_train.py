@@ -398,10 +398,7 @@ class MetaASRTrainer:
             refs.extend(batch["texts"])
         for out in pending:
             if use_beam:
-                toks = np.asarray(out["tokens"])
-                lens = np.asarray(out["lengths"])
-                hyps.extend(self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
-                            for b in range(toks.shape[0]))
+                hyps.extend(self._beam_read(out))
             else:
                 packed, out_lens = out
                 hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
@@ -413,10 +410,9 @@ class MetaASRTrainer:
                     f.write(json.dumps({"hyp": h, "ref": r}) + "\n")
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
-    def _beam_decode_batch(self, params, batch) -> list[str]:
-        """Dispatch + read one batch (kept for direct use; decode()
-        pipelines via _beam_dispatch_batch)."""
-        out = self._beam_dispatch_batch(params, batch)
+    def _beam_read(self, out) -> list[str]:
+        """Host readback of one dispatched beam batch: top hypothesis per
+        utterance as text."""
         toks = np.asarray(out["tokens"])
         lens = np.asarray(out["lengths"])
         return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])

@@ -11,8 +11,16 @@ real decodes faster, never slower).
 Timing: median of 3 passes, completion forced by a host value read
 (block_until_ready can return early on this attachment; see bench.py).
 
+Two modes, NOT directly comparable (different readback):
+- measure(): per-batch latency, reading back one scalar (the headline
+  ms/batch numbers);
+- measure_pipelined(): serving-mode throughput with FULL token readback
+  per batch, all batches enqueued before any read — compare against its
+  own sync-read baseline (also full readback), not against measure().
+
 Run on the TPU machine: python scripts/decode_bench.py
-Prints one JSON line per batch size; the B=16 row is the README number.
+Prints one JSON line per row; the B=16 measure() row is the README
+latency number, the pipelined row the serving-throughput number.
 """
 
 from __future__ import annotations
@@ -45,14 +53,15 @@ AUDIO_SEC = 4.0
 STEPS = 48
 
 
-def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
+def _setup(bsz: int, beam: int, lm_weight: float = 0.0):
+    """Shared flagship model/params/inputs/config for both modes (one
+    source of truth so the table's rows benchmark the same model)."""
     rng = np.random.default_rng(0)
     model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
                            d_ff=2048, num_encoder_layers=12,
                            num_decoder_layers=6, dropout=0.0,
                            dtype=jnp.bfloat16)
-    feats = jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)),
-                        jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
     lens = jnp.full((bsz,), T_FEAT, jnp.int32)
     toks = jnp.asarray(rng.integers(1, EOS, (bsz, 8)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), feats, lens,
@@ -73,8 +82,15 @@ def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
 
     run = jax.jit(lambda p, f, l: beam_search_transformer(
         model, p, f, l, EOS, cfg, lm_model=lm_model, lm_params=lm_params))
+    # compile + drain: host value read, NOT block_until_ready (which can
+    # return early on this attachment and bleed warmup into the first pass)
     out = run(params, feats, lens)
-    jax.block_until_ready(out)          # compile
+    _ = int(np.asarray(out["lengths"])[0, 0])
+    return run, params, feats, lens
+
+
+def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
+    run, params, feats, lens = _setup(bsz, beam, lm_weight)
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -94,39 +110,41 @@ def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
 def measure_pipelined(bsz: int, beam: int = 10, nbatches: int = 8) -> dict:
     """Serving-mode throughput: all batches enqueued before any host read
     (the trainer's decode() does the same) — overlaps batch i+1 compute
-    with batch i readback, which on a network-attached chip is worth
-    ~2.4x over read-after-dispatch."""
-    rng = np.random.default_rng(0)
-    model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
-                           d_ff=2048, num_encoder_layers=12,
-                           num_decoder_layers=6, dropout=0.0,
-                           dtype=jnp.bfloat16)
-    feats = [jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
-             for _ in range(nbatches)]
-    lens = jnp.full((bsz,), T_FEAT, jnp.int32)
-    toks = jnp.asarray(rng.integers(1, EOS, (bsz, 8)), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), feats[0], lens,
-                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=EOS),
-                        jnp.full((bsz,), 9, jnp.int32))["params"]
-    cfg = BeamSearchConfig(beam_size=beam, max_len=STEPS, min_len=STEPS,
-                           ctc_weight=0.3)
-    run = jax.jit(lambda p, f, l: beam_search_transformer(
-        model, p, f, l, EOS, cfg))
-    jax.block_until_ready(run(params, feats[0], lens))    # compile
-    dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run(params, f, lens) for f in feats]      # all enqueued
-        for out in outs:
-            _ = np.asarray(out["tokens"])
-            _ = np.asarray(out["lengths"])
-        dts.append(time.perf_counter() - t0)
-    dt = sorted(dts)[1]
+    with batch i readback. Reports BOTH the pipelined rate and its own
+    sync-read baseline (same full-token readback) so the speedup is
+    computable from this row alone."""
+    run, params, feats0, lens = _setup(bsz, beam)
+    rng = np.random.default_rng(1)
+    feats = [feats0] + [
+        jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
+        for _ in range(nbatches - 1)]
+
+    def read(out):
+        _ = np.asarray(out["tokens"])
+        _ = np.asarray(out["lengths"])
+
+    def timed(pipelined: bool) -> float:
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            if pipelined:
+                outs = [run(params, f, lens) for f in feats]  # all enqueued
+                for out in outs:
+                    read(out)
+            else:
+                for f in feats:
+                    read(run(params, f, lens))
+            dts.append(time.perf_counter() - t0)
+        return sorted(dts)[1]
+
+    dt_sync, dt_pipe = timed(False), timed(True)
     return {"batch": bsz, "beam": beam, "decode_steps": STEPS,
             "mode": "pipelined", "nbatches": nbatches,
-            "ms_per_batch": round(dt / nbatches * 1e3, 1),
-            "utts_per_sec": round(nbatches * bsz / dt, 1),
-            "rtf": round(dt / (nbatches * bsz * AUDIO_SEC), 5)}
+            "ms_per_batch": round(dt_pipe / nbatches * 1e3, 1),
+            "utts_per_sec": round(nbatches * bsz / dt_pipe, 1),
+            "sync_read_utts_per_sec": round(nbatches * bsz / dt_sync, 1),
+            "speedup_vs_sync_read": round(dt_sync / dt_pipe, 2),
+            "rtf": round(dt_pipe / (nbatches * bsz * AUDIO_SEC), 5)}
 
 
 def main():

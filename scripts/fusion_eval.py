@@ -51,7 +51,9 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--data-dir", default="/tmp/flagship_synth_hard")
     ap.add_argument("--workdir", default="/tmp/fusion_runs")
-    ap.add_argument("--out", default="/tmp/fusion_sweep.json")
+    ap.add_argument("--out", default=None,
+                    help="default /tmp/fusion_sweep_<algo>_s<seed>.json "
+                    "(seed-suffixed so sweeps don't clobber each other)")
     ap.add_argument("--algo", default="multi", choices=("multi", "fomaml",
                                                         "reptile"))
     ap.add_argument("--weights", default="0,0.1,0.2,0.3,0.5")
@@ -61,6 +63,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny dims (CPU-runnable script check)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = f"/tmp/fusion_sweep_{args.algo}_s{args.seed}.json"
 
     if not os.path.exists(os.path.join(args.data_dir, f"{HELDOUT}.jsonl")):
         generate_dataset(args.data_dir, accents=ACCENTS_HARD,

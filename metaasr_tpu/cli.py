@@ -121,7 +121,9 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
 def main(argv=None):
     p = argparse.ArgumentParser("metaasr_tpu")
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--mode", choices=["train", "adapt", "test"], default="train")
+    p.add_argument("--mode",
+                   choices=["train", "adapt", "test", "transcribe"],
+                   default="train")
     p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml", "reptile"],
                    default=None)
     p.add_argument("--workdir", type=str, default="runs/default")
@@ -135,6 +137,9 @@ def main(argv=None):
     p.add_argument("--lm-weight", type=float, default=None,
                    help="shallow-fusion weight (0 = off); shorthand for "
                    "-o train.lm_weight=...")
+    p.add_argument("--dump-nbest", type=int, default=1,
+                   help="beam mode: write this many hypotheses (with "
+                   "scores) per utterance to the hyps_*.jsonl dumps")
     p.add_argument("--mesh-tasks", type=int, default=0,
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
@@ -247,8 +252,27 @@ def main(argv=None):
             adapted, test_idx = trainer.meta_adapt(state.params, ds)
             scores = trainer.decode(
                 adapted, ds, test_idx, mode=args.decode_mode,
-                dump_path=os.path.join(args.workdir, f"hyps_{name}.jsonl"))
+                dump_path=os.path.join(args.workdir, f"hyps_{name}.jsonl"),
+                dump_nbest=args.dump_nbest)
             results[name] = scores
+    elif args.mode == "transcribe":
+        # decode EVERY loaded accent (train + held-out) zero-shot and
+        # write hypothesis files — the unlabeled-data serving surface
+        # (manifests without a "text" field decode fine; refs are then
+        # empty and no WER is reported)
+        if not hasattr(trainer, "decode"):
+            raise SystemExit("--mode transcribe needs a transformer "
+                             "meta/multitask config (decode surface)")
+        targets = dict(getattr(trainer, "accent_datasets", {}) or {})
+        targets.update(getattr(trainer, "heldout_datasets", {}) or {})
+        for name, ds in targets.items():
+            path = os.path.join(args.workdir, f"hyps_{name}.jsonl")
+            scores = trainer.decode(
+                state.params, ds, max_utts=len(ds), mode=args.decode_mode,
+                dump_path=path, dump_nbest=args.dump_nbest)
+            results[name] = {"utts": len(ds), "dump": path}
+            if any(ds.transcript(i) for i in range(len(ds))):
+                results[name].update(scores)      # refs exist: keep WER
     else:  # test: decode without adaptation
         targets = getattr(trainer, "heldout_datasets", None) or {}
         if not targets and hasattr(trainer, "dev_dataset") and trainer.dev_dataset:
@@ -258,7 +282,8 @@ def main(argv=None):
                 results[name] = trainer.decode(
                     state.params, ds, mode=args.decode_mode,
                     dump_path=os.path.join(args.workdir,
-                                           f"hyps_{name}.jsonl"))
+                                           f"hyps_{name}.jsonl"),
+                    dump_nbest=args.dump_nbest)
             else:
                 results[name] = trainer.evaluate(state.params, ds)
     out = os.path.join(args.workdir, f"{args.mode}_results.json")

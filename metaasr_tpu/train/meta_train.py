@@ -93,11 +93,18 @@ class MetaASRTrainer:
             u_buckets = tuple(sorted(
                 {min(u, d.max_tokens) for u in d.token_buckets}
                 | {d.max_tokens}))
-        self.sampler = TaskSampler(
-            accent_datasets, k_support=m.k_support, k_query=m.k_query,
-            tasks_per_batch=m.tasks_per_batch,
-            num_samples=cap, num_tokens=d.max_tokens,
-            seed=d.seed, sample_buckets=s_buckets, token_buckets=u_buckets)
+        # decode/adapt-only sessions (e.g. CLI transcribe with one accent,
+        # or everything held out) never draw meta-batches — don't let the
+        # sampler's tasks_per_batch <= accents invariant block them;
+        # meta_train() itself still requires a usable sampler
+        self.sampler = None
+        if accent_datasets and m.tasks_per_batch <= len(accent_datasets):
+            self.sampler = TaskSampler(
+                accent_datasets, k_support=m.k_support, k_query=m.k_query,
+                tasks_per_batch=m.tasks_per_batch,
+                num_samples=cap, num_tokens=d.max_tokens,
+                seed=d.seed, sample_buckets=s_buckets,
+                token_buckets=u_buckets)
         make_grads = (reptile_grads if cfg.meta.algo == "reptile"
                       else maml_grads)
         self._grad_fn = make_grads(self.task.loss_fn, algo_config(cfg),
@@ -200,8 +207,19 @@ class MetaASRTrainer:
 
     def init_state(self) -> MetaTrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
-        mb = self.sampler.sample()
-        sample = {k: v[0] for k, v in mb["support"].items() if k != "texts"}
+        if self.sampler is not None:
+            mb = self.sampler.sample()
+            sample = {k: v[0] for k, v in mb["support"].items()
+                      if k != "texts"}
+        else:
+            # decode/adapt-only session: any dataset provides the shape
+            # template for param init (params are then restored anyway)
+            ds = (next(iter(self.accent_datasets.values()), None)
+                  or next(iter(self.heldout_datasets.values())))
+            items = [ds[i] for i in range(min(2, len(ds)))]
+            batch = collate(items, self._num_samples_cap(),
+                            self.cfg.data.max_tokens)
+            sample = {k: v for k, v in batch.items() if k != "texts"}
         params = self.task.init_params(rng, sample)
         from metaasr_tpu.train.mono import init_track
 
@@ -262,6 +280,11 @@ class MetaASRTrainer:
             yield batch
 
     def meta_train(self, max_steps: int | None = None) -> MetaTrainState:
+        if self.sampler is None:
+            raise ValueError(
+                "meta_train needs meta.tasks_per_batch <= number of "
+                f"training accents ({len(self.accent_datasets)} loaded); "
+                "this trainer was built decode/adapt-only")
         cfg = self.cfg.train
         max_steps = max_steps or cfg.max_steps
         state = self.init_state()
@@ -358,14 +381,18 @@ class MetaASRTrainer:
         return self._adapt_cache[steps]
 
     def decode(self, params, dataset, indices=None, max_utts: int = 100,
-               mode: str = "greedy", dump_path: str | None = None) -> dict:
+               mode: str = "greedy", dump_path: str | None = None,
+               dump_nbest: int = 1) -> dict:
         """Decode a dataset (or subset) -> WER/CER.
 
         mode='greedy': CTC greedy. mode='beam': batched on-device joint
         CTC/attention beam search (transformer only; SURVEY.md section 3.3).
         ``dump_path``: write one JSONL record {"hyp", "ref"} per utterance
         (the reference's decode writes hypothesis files; SURVEY.md
-        section 3.3).
+        section 3.3); beam mode adds the top hypothesis "score", and
+        ``dump_nbest`` > 1 adds an "nbest" list of {"hyp", "score"}
+        (ESPnet n-best output semantics; scores are the search's joint
+        cumulative scores, post final ranking).
 
         Pipelined dispatch: every batch is enqueued on the device before
         any result is read back. On a network-attached chip the sync
@@ -396,9 +423,12 @@ class MetaASRTrainer:
             else:
                 pending.append(self.task.greedy_batch(params, batch))
             refs.extend(batch["texts"])
+        details = []                     # per-utt beam extras for the dump
         for out in pending:
             if use_beam:
-                hyps.extend(self._beam_read(out))
+                texts, extras = self._beam_read(out, nbest=dump_nbest)
+                hyps.extend(texts)
+                details.extend(extras)
             else:
                 packed, out_lens = out
                 hyps.extend(greedy_to_texts(packed, out_lens, self.tokenizer))
@@ -406,17 +436,32 @@ class MetaASRTrainer:
             import json
 
             with open(dump_path, "w") as f:
-                for h, r in zip(hyps, refs):
-                    f.write(json.dumps({"hyp": h, "ref": r}) + "\n")
+                for i, (h, r) in enumerate(zip(hyps, refs)):
+                    rec = {"hyp": h, "ref": r}
+                    if i < len(details):
+                        rec.update(details[i])
+                    f.write(json.dumps(rec) + "\n")
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
-    def _beam_read(self, out) -> list[str]:
-        """Host readback of one dispatched beam batch: top hypothesis per
-        utterance as text."""
+    def _beam_read(self, out, nbest: int = 1):
+        """Host readback of one dispatched beam batch. Returns (texts,
+        extras): top hypothesis per utterance as text, plus per-utterance
+        dump extras ({"score"} and, for nbest > 1, {"nbest": [...]})."""
         toks = np.asarray(out["tokens"])
         lens = np.asarray(out["lengths"])
-        return [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
-                for b in range(toks.shape[0])]
+        scores = np.asarray(out["scores"])
+        texts = [self.tokenizer.decode(toks[b, 0, : lens[b, 0]])
+                 for b in range(toks.shape[0])]
+        k = min(max(1, nbest), toks.shape[1])
+        extras = []
+        for b in range(toks.shape[0]):
+            e = {"score": float(scores[b, 0])}
+            if k > 1:
+                e["nbest"] = [
+                    {"hyp": self.tokenizer.decode(toks[b, j, : lens[b, j]]),
+                     "score": float(scores[b, j])} for j in range(k)]
+            extras.append(e)
+        return texts, extras
 
     def _beam_dispatch_batch(self, params, batch):
         import jax.numpy as jnp

@@ -125,3 +125,57 @@ def test_eval_heldout_averages_support_draws(synthetic_data_dir, tmp_path):
     seen_seeds.clear()
     trainer.eval_heldout(state.params, support_draws=1)
     assert seen_seeds == [0]
+
+
+def test_decode_dump_nbest_scores(synthetic_data_dir, tmp_path):
+    """Beam-mode hypothesis dumps carry the top score and, with
+    dump_nbest > 1, an n-best list sorted best-first (ESPnet n-best
+    output semantics)."""
+    import json
+
+    trainer, _ = _make_trainer(synthetic_data_dir, tmp_path, "fomaml",
+                               arch="transformer")
+    state = trainer.init_state()
+    ds = trainer.heldout_datasets["delta"]
+    path = str(tmp_path / "hyps.jsonl")
+    trainer.decode(state.params, ds, max_utts=4, mode="beam",
+                   dump_path=path, dump_nbest=3)
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 4
+    for r in recs:
+        assert {"hyp", "ref", "score", "nbest"} <= set(r)
+        assert len(r["nbest"]) == 3
+        scores = [h["score"] for h in r["nbest"]]
+        assert scores == sorted(scores, reverse=True)
+        assert r["nbest"][0]["hyp"] == r["hyp"]
+        assert r["nbest"][0]["score"] == r["score"]
+
+
+def test_decode_only_trainer_with_too_few_accents(synthetic_data_dir,
+                                                  tmp_path):
+    """A decode/adapt-only session (e.g. CLI transcribe pointed at ONE
+    accent) must construct even when meta.tasks_per_batch > available
+    accents: the TaskSampler is skipped, init_state falls back to a
+    collate template, decode works, and meta_train fails loudly."""
+    import pytest as _pytest
+
+    from metaasr_tpu.data.dataset import load_accent_datasets as _load
+
+    tok = CharTokenizer.ascii_default()
+    from tests.test_m2_models import tiny_cfg as _tiny
+    cfg = _tiny("transformer", vocab=tok.vocab_size)
+    cfg.meta.algo = "fomaml"
+    cfg.meta.tasks_per_batch = 4          # > 1 accent loaded below
+    cfg.data.max_frames = 200
+    cfg.data.max_tokens = 16
+    cfg.data.batch_size = 4
+    dsets = _load(synthetic_data_dir, tok, accents=("delta",))
+    task = ASRTask(cfg, tok.sos_eos_id)
+    trainer = MetaASRTrainer(cfg, task, dsets, {}, tok, str(tmp_path))
+    assert trainer.sampler is None
+    state = trainer.init_state()
+    ds = dsets["delta"]
+    out = trainer.decode(state.params, ds, max_utts=2, mode="beam")
+    assert np.isfinite(out["wer"])
+    with _pytest.raises(ValueError, match="decode/adapt-only"):
+        trainer.meta_train(max_steps=1)

@@ -259,15 +259,33 @@ def main(argv=None):
         # decode EVERY loaded accent (train + held-out) zero-shot and
         # write hypothesis files — the unlabeled-data serving surface
         # (manifests without a "text" field decode fine; refs are then
-        # empty and no WER is reported)
+        # empty and no WER is reported). Works for any algo: a
+        # mono/multitask-trained transformer decodes through a
+        # decode-only MetaASRTrainer over the same params.
+        decoder = trainer
+        targets = {}
+        if hasattr(trainer, "accent_datasets") and isinstance(
+                getattr(trainer, "accent_datasets"), dict):
+            targets.update(trainer.accent_datasets)
+        targets.update(getattr(trainer, "heldout_datasets", None) or {})
         if not hasattr(trainer, "decode"):
-            raise SystemExit("--mode transcribe needs a transformer "
-                             "meta/multitask config (decode surface)")
-        targets = dict(getattr(trainer, "accent_datasets", {}) or {})
-        targets.update(getattr(trainer, "heldout_datasets", {}) or {})
+            from metaasr_tpu.train.meta_train import MetaASRTrainer
+            from metaasr_tpu.train.task import ASRTask
+
+            if not targets:   # mono trainer holds a dataset list
+                dsl = getattr(trainer, "train_datasets", None) or []
+                targets = {(d.accent or f"accent{i}"): d
+                           for i, d in enumerate(dsl)}
+            import copy
+
+            dcfg = copy.deepcopy(cfg)
+            dcfg.meta.algo = "fomaml"    # wrapper only decodes; algo unused
+            decoder = MetaASRTrainer(dcfg, ASRTask(dcfg, tok.sos_eos_id),
+                                     dict(targets), {}, tok,
+                                     os.path.join(args.workdir, "_decode"))
         for name, ds in targets.items():
             path = os.path.join(args.workdir, f"hyps_{name}.jsonl")
-            scores = trainer.decode(
+            scores = decoder.decode(
                 state.params, ds, max_utts=len(ds), mode=args.decode_mode,
                 dump_path=path, dump_nbest=args.dump_nbest)
             results[name] = {"utts": len(ds), "dump": path}

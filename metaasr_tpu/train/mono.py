@@ -80,7 +80,18 @@ class MonoASRTrainer:
     def init_state(self, batch=None) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         if batch is None:
-            batch = next(iter(self.batcher))
+            try:
+                batch = next(iter(self.batcher))
+            except StopIteration:
+                # decode/transcribe-only sessions (or toy corpora) can
+                # leave every bucket short of one full drop_last batch;
+                # any items give the shape template (params are restored
+                # from a checkpoint anyway in those sessions)
+                ds = self.train_datasets[0]
+                items = [ds[i] for i in range(min(2, len(ds)))]
+                batch = collate(items,
+                                self.cfg.data.max_frames * 160 + 240,
+                                self.cfg.data.max_tokens)
         params = self.task.init_params(rng, device_batch(batch))
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),

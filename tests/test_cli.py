@@ -93,3 +93,36 @@ def test_cli_train_with_bpe_vocab(synthetic_data_dir, tmp_path):
     vocab = _json.load(open(
         os.path.join(synthetic_data_dir, "vocab_bpe.json")))
     assert vocab  # corpus-derived merges persisted for later invocations
+
+
+@pytest.mark.slow
+def test_cli_transcribe_mono_and_meta(synthetic_data_dir, tmp_path):
+    """--mode transcribe decodes every loaded accent zero-shot for BOTH a
+    meta-trained run and a mono ('no' algo) run — the latter routes
+    params through a decode-only MetaASRTrainer wrapper (the mono trainer
+    has no decode surface of its own)."""
+    tiny = [
+        "-o", "model.d_model=32", "-o", "model.num_heads=2",
+        "-o", "model.d_ff=64", "-o", "model.num_encoder_layers=2",
+        "-o", "model.num_decoder_layers=2", "-o", "model.dtype=float32",
+        "-o", "data.max_frames=200", "-o", "data.max_tokens=16",
+        "-o", "frontend.use_pallas=false",
+        "-o", "train.eval_every=0", "-o", "train.ckpt_every=1000000",
+        "-o", "train.prng_impl=", "-o", "optimizer.schedule=constant",
+    ]
+    # mono run: train 2 steps, then transcribe its own training accent
+    wd = str(tmp_path / "mono")
+    rc = main(["--mode", "train", "--algo", "no", "--workdir", wd,
+               "--max-steps", "2", "--data-dir", synthetic_data_dir,
+               "-o", "data.dev_fraction=0", "-o", "data.batch_size=4",
+               "-o", "data.accents=alpha"] + tiny)
+    assert rc == 0
+    rc = main(["--config", f"{wd}/config.yaml", "--mode", "transcribe",
+               "--workdir", wd, "--data-dir", synthetic_data_dir])
+    assert rc == 0
+    results = json.load(open(f"{wd}/transcribe_results.json"))
+    assert "alpha" in results
+    hyps = [json.loads(l) for l in open(results["alpha"]["dump"])]
+    assert len(hyps) == results["alpha"]["utts"] > 0
+    assert {"hyp", "ref"} <= set(hyps[0])
+    assert "wer" in results["alpha"]  # synthetic manifests carry refs

@@ -109,9 +109,16 @@ def make_trainer(cfg: Config, workdir: str, mesh=None):
         dev = next(iter(devs.values())) if devs else dev
     if algo == "no":
         train_sets = [dsets[a] for a in (cfg.data.accents or sorted(dsets))][:1]
-        return MonoASRTrainer(cfg, task, train_sets, dev, tok, workdir), tok
+        trainer = MonoASRTrainer(cfg, task, train_sets, dev, tok, workdir)
+        # baselines are tested on the held-out accent too (the reference
+        # compares no-pretrain/multitask vs meta on the SAME held-out
+        # accent, BASELINE.json:7-9) — expose it to test/transcribe modes
+        trainer.heldout_datasets = heldout
+        return trainer, tok
     if algo == "multi":
-        return MultitaskASRTrainer(cfg, task, dsets, dev, tok, workdir), tok
+        trainer = MultitaskASRTrainer(cfg, task, dsets, dev, tok, workdir)
+        trainer.heldout_datasets = heldout
+        return trainer, tok
     if algo in ("fomaml", "maml", "reptile"):
         return MetaASRTrainer(cfg, task, dsets, heldout, tok, workdir,
                               mesh=mesh), tok
@@ -272,10 +279,11 @@ def main(argv=None):
             from metaasr_tpu.train.meta_train import MetaASRTrainer
             from metaasr_tpu.train.task import ASRTask
 
-            if not targets:   # mono trainer holds a dataset list
-                dsl = getattr(trainer, "train_datasets", None) or []
-                targets = {(d.accent or f"accent{i}"): d
-                           for i, d in enumerate(dsl)}
+            # mono/multitask hold a dataset LIST — merge those accents in
+            # (targets may already carry the held-out accents)
+            for i, d in enumerate(getattr(trainer, "train_datasets", None)
+                                  or []):
+                targets.setdefault(d.accent or f"accent{i}", d)
             import copy
 
             dcfg = copy.deepcopy(cfg)

@@ -110,19 +110,29 @@ def test_cli_transcribe_mono_and_meta(synthetic_data_dir, tmp_path):
         "-o", "train.eval_every=0", "-o", "train.ckpt_every=1000000",
         "-o", "train.prng_impl=", "-o", "optimizer.schedule=constant",
     ]
-    # mono run: train 2 steps, then transcribe its own training accent
+    # mono run: train 2 steps, then transcribe its training accent AND the
+    # held-out accent (baselines are compared to meta on the SAME held-out
+    # accent — make_trainer exposes heldout to the baseline trainers too)
     wd = str(tmp_path / "mono")
     rc = main(["--mode", "train", "--algo", "no", "--workdir", wd,
                "--max-steps", "2", "--data-dir", synthetic_data_dir,
                "-o", "data.dev_fraction=0", "-o", "data.batch_size=4",
+               "-o", "data.heldout_accents=delta",
                "-o", "data.accents=alpha"] + tiny)
     assert rc == 0
     rc = main(["--config", f"{wd}/config.yaml", "--mode", "transcribe",
                "--workdir", wd, "--data-dir", synthetic_data_dir])
     assert rc == 0
     results = json.load(open(f"{wd}/transcribe_results.json"))
-    assert "alpha" in results
+    assert {"alpha", "delta"} <= set(results)
     hyps = [json.loads(l) for l in open(results["alpha"]["dump"])]
     assert len(hyps) == results["alpha"]["utts"] > 0
     assert {"hyp", "ref"} <= set(hyps[0])
     assert "wer" in results["alpha"]  # synthetic manifests carry refs
+
+    # --mode test on the baseline scores the held-out accent zero-shot
+    rc = main(["--config", f"{wd}/config.yaml", "--mode", "test",
+               "--workdir", wd, "--data-dir", synthetic_data_dir])
+    assert rc == 0
+    tres = json.load(open(f"{wd}/test_results.json"))
+    assert "delta" in tres and 0.0 <= tres["delta"]["wer"] <= 2.0

@@ -54,6 +54,10 @@ class SpecAugmentConfig:
 @dataclass
 class ModelConfig:
     arch: str = "transformer"  # "transformer" | "vgg_blstm"
+    # encoder for arch=transformer: "transformer" | "conformer" (macaron
+    # FFN + rel-pos attention + depthwise-conv module; models/conformer.py)
+    encoder: str = "transformer"
+    conformer_kernel: int = 15  # depthwise-conv kernel width
     feat_dim: int = constants.FEAT_DIM
     vocab_size: int = 30
     # transformer (ESPnet-lineage dims, SURVEY.md section 2.1 #9)

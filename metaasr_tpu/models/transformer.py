@@ -384,12 +384,23 @@ class TransformerASR(nn.Module):
     num_encoder_layers: int = 12
     num_decoder_layers: int = 6
     dropout: float = 0.1
+    encoder_type: str = "transformer"  # "transformer" | "conformer"
+    conformer_kernel: int = 15
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.d_model, self.num_heads, self.d_ff,
-                               self.num_encoder_layers, self.dropout,
-                               dtype=self.dtype, name="encoder")
+        if self.encoder_type == "conformer":
+            from metaasr_tpu.models.conformer import ConformerEncoder
+
+            self.encoder = ConformerEncoder(
+                self.d_model, self.num_heads, self.d_ff,
+                self.num_encoder_layers, self.dropout,
+                kernel_size=self.conformer_kernel, dtype=self.dtype,
+                name="encoder")
+        else:
+            self.encoder = Encoder(self.d_model, self.num_heads, self.d_ff,
+                                   self.num_encoder_layers, self.dropout,
+                                   dtype=self.dtype, name="encoder")
         self.ctc_head = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                  name="ctc_head")
         self.decoder = Decoder(self.vocab_size, self.d_model, self.num_heads,

@@ -50,7 +50,9 @@ def build_model(cfg: Config):
                               num_heads=m.num_heads, d_ff=m.d_ff,
                               num_encoder_layers=m.num_encoder_layers,
                               num_decoder_layers=m.num_decoder_layers,
-                              dropout=m.dropout, dtype=dtype)
+                              dropout=m.dropout, encoder_type=m.encoder,
+                              conformer_kernel=m.conformer_kernel,
+                              dtype=dtype)
     raise ValueError(f"unknown arch {m.arch}")
 
 

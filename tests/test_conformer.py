@@ -1,0 +1,158 @@
+"""Conformer encoder (models/conformer.py): rel-pos attention correctness
+vs a naive per-pair construction, padding invariance through the conv
+module, and meta-learning compatibility (stateless by construction — the
+BatchNorm→LayerNorm substitution is the point under test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metaasr_tpu.models.conformer import (
+    ConformerEncoder,
+    RelPosSelfAttention,
+    rel_shift,
+    relative_positions,
+)
+from metaasr_tpu.models.losses import prepare_decoder_targets
+from metaasr_tpu.models.transformer import TransformerASR
+
+
+def test_rel_shift_matches_naive(rng):
+    b, h, t = 2, 3, 7
+    x = rng.standard_normal((b, h, t, 2 * t - 1)).astype(np.float32)
+    out = np.asarray(rel_shift(jnp.asarray(x)))
+    want = np.zeros((b, h, t, t), np.float32)
+    for q in range(t):
+        for s in range(t):
+            want[:, :, q, s] = x[:, :, q, (t - 1) + (s - q)]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_relpos_attention_matches_naive(rng):
+    """The skewed-einsum rel-pos attention equals a naive implementation
+    that materializes r_{t-s} per (query, key) pair."""
+    d, heads, t = 16, 2, 9
+    attn = RelPosSelfAttention(d_model=d, num_heads=heads)
+    x = jnp.asarray(rng.standard_normal((2, t, d)).astype(np.float32))
+    bias = jnp.zeros((2, 1, 1, t), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x, bias)["params"]
+    out = attn.apply({"params": params}, x, bias)
+
+    # naive: project q/k/v and positions with the SAME params, build
+    # scores with an explicit [T, T] relative-offset table
+    dh = d // heads
+    qkv = (jnp.einsum("btd,dchf->btchf", x, params["qkv"]["kernel"])
+           + params["qkv"]["bias"])
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    rel = jnp.asarray(relative_positions(t, d))  # [2T-1, D]; row i = T-1-i
+    r = jnp.einsum("pd,dhf->phf", rel, params["pos"]["kernel"])
+    u, vb = params["u_bias"], params["v_bias"]
+    naive = np.zeros((2, heads, t, t), np.float32)
+    for qi in range(t):
+        for s in range(t):
+            r_qs = r[(t - 1) - (qi - s)]  # offset qi-s
+            naive[:, :, qi, s] = np.asarray(
+                jnp.einsum("bhf,bhf->bh", q[:, qi] + u[None], k[:, s])
+                + jnp.einsum("bhf,hf->bh", q[:, qi] + vb[None], r_qs))
+    w = jax.nn.softmax(jnp.asarray(naive) / np.sqrt(dh), axis=-1)
+    att = jnp.einsum("bhqk,bkhf->bqhf", w, v)
+    want = (jnp.einsum("bqhf,hfd->bqd", att, params["out"]["kernel"])
+            + params["out"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conformer_encoder_padding_invariance(rng):
+    enc = ConformerEncoder(d_model=32, num_heads=2, d_ff=64, num_layers=2,
+                           dropout=0.0, kernel_size=7)
+    feats = jnp.asarray(rng.standard_normal((2, 35, 80)).astype(np.float32))
+    lens = jnp.array([35, 19])
+    params = enc.init(jax.random.PRNGKey(0), feats, lens, False)["params"]
+    out, out_lens = enc.apply({"params": params}, feats, lens, False)
+    assert out.shape == (2, 8, 32)
+    assert list(np.asarray(out_lens)) == [8, 4]
+    # corrupt padding frames: valid outputs unchanged (attention mask AND
+    # the conv module's pre-conv re-zeroing both have to hold)
+    feats2 = feats.at[1, 19:].set(7.0)
+    out2, _ = enc.apply({"params": params}, feats2, lens, False)
+    np.testing.assert_allclose(np.asarray(out[1, :4]), np.asarray(out2[1, :4]),
+                               rtol=2e-3, atol=2e-4)
+    # padded encoder frames are zeroed for downstream heads
+    assert float(jnp.abs(out[1, 4:]).max()) == 0.0
+
+
+def test_conformer_asr_forward_and_meta_grads(rng):
+    """Full model with conformer encoder: joint forward shapes, and a
+    vmapped FOMAML meta-gradient runs (pure params — no batch statistics,
+    the reason ConvModule uses LayerNorm)."""
+    from metaasr_tpu.config import Config
+    from metaasr_tpu.meta.maml import MetaAlgoConfig, maml_grads
+    from metaasr_tpu.train.task import ASRTask
+
+    cfg = Config()
+    cfg.model.encoder = "conformer"
+    cfg.model.conformer_kernel = 7
+    cfg.model.vocab_size = 12
+    cfg.model.d_model = 32
+    cfg.model.num_heads = 2
+    cfg.model.d_ff = 64
+    cfg.model.num_encoder_layers = 2
+    cfg.model.num_decoder_layers = 2
+    cfg.model.dtype = "float32"
+    cfg.model.dropout = 0.0
+    cfg.model.ctc_impl = "scan"
+    cfg.specaug.enabled = False
+    cfg.frontend.use_pallas = False
+    cfg.meta.inner_steps = 1
+    task = ASRTask(cfg)
+
+    def batch(m, b):
+        r = np.random.default_rng(0)
+        return {
+            "audio": jnp.asarray(0.1 * r.standard_normal((m, b, 4000)),
+                                 jnp.float32),
+            "audio_lens": jnp.full((m, b), 4000, jnp.int32),
+            "tokens": jnp.asarray(r.integers(1, 10, (m, b, 5)), jnp.int32),
+            "token_lens": jnp.full((m, b), 5, jnp.int32),
+        }
+
+    mb = {"support": batch(2, 2), "query": batch(2, 2)}
+    params = task.init_params(jax.random.PRNGKey(0),
+                              {k: v[0] for k, v in mb["support"].items()})
+    grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
+        inner_lr=1e-2, inner_steps=1, first_order=True),
+        preprocess_fn=task.preprocess)
+    grads, metrics = jax.jit(grad_fn)(params, mb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["meta_loss"]))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # the conformer-specific params got gradients too
+    enc = grads["encoder"]["layer_0"]
+    assert float(jnp.abs(enc["self_attn"]["u_bias"]).max()) > 0
+    assert float(jnp.abs(enc["conv"]["depthwise"]["kernel"]).max()) > 0
+
+
+def test_conformer_beam_decode_smoke(rng):
+    """Beam search runs unchanged on a conformer-encoder model (the search
+    only touches encode + decoder surfaces)."""
+    from metaasr_tpu.decode.beam_search import (
+        BeamSearchConfig,
+        beam_search_transformer,
+    )
+
+    model = TransformerASR(vocab_size=12, d_model=32, num_heads=2, d_ff=64,
+                           num_encoder_layers=2, num_decoder_layers=2,
+                           dropout=0.0, encoder_type="conformer",
+                           conformer_kernel=7)
+    feats = jnp.asarray(rng.standard_normal((2, 35, 80)).astype(np.float32))
+    lens = jnp.array([35, 19])
+    tokens = jnp.asarray(rng.integers(1, 10, (2, 4)).astype(np.int32))
+    tin, _, _ = prepare_decoder_targets(tokens, jnp.array([4, 4]), 11)
+    params = model.init(jax.random.PRNGKey(0), feats, lens, tin,
+                        jnp.array([5, 5]))["params"]
+    cfg = BeamSearchConfig(beam_size=3, max_len=8, ctc_weight=0.3)
+    out = beam_search_transformer(model, params, feats, lens, 11, cfg)
+    assert out["tokens"].shape[:2] == (2, 3)
+    assert np.all(np.asarray(out["lengths"]) >= 0)
+    best = np.asarray(out["scores"])[:, 0]
+    assert np.all(np.isfinite(best))

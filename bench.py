@@ -87,9 +87,11 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
         inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
         remat_inner=True, unroll_inner=True,
-        # experiment hook (not set by the driver): BENCH_GRAD_DTYPE=bfloat16
-        # measures the low-precision meta-step (meta/maml.py grad_dtype)
-        grad_dtype=os.environ.get("BENCH_GRAD_DTYPE") or None),
+        # the shipped flagship default (configs/config3_fomaml.yaml):
+        # bf16 meta-step — +5.5% here AND better 5-shot WER than fp32 at
+        # all 3 measured training seeds (RESULTS.md bf16 table).
+        # BENCH_GRAD_DTYPE=float32 measures the fp32 meta-step instead.
+        grad_dtype=os.environ.get("BENCH_GRAD_DTYPE", "bfloat16") or None),
         preprocess_fn=task.preprocess)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -111,11 +111,16 @@ class MetaConfig:
     unroll_inner: bool = True      # unroll the inner lax.scan (avoids XLA
                                    # while-carry copies of the per-task param
                                    # tree; +14% meta-step on v5e at 3 steps)
-    grad_dtype: str = "float32"    # EXPERIMENTAL "bfloat16": run the whole
-                                   # meta-step (fast weights + outer backward)
-                                   # in bf16, converting to the fp32 masters
-                                   # once per leaf (see meta/maml.py
-                                   # MetaAlgoConfig.grad_dtype)
+    grad_dtype: str = "float32"    # "bfloat16": run the whole meta-step
+                                   # (fast weights + outer backward) in bf16,
+                                   # converting to the fp32 masters once per
+                                   # leaf (meta/maml.py). Shipped default for
+                                   # the flagship FOMAML config (config3):
+                                   # +5.5% step AND better 5-shot WER than
+                                   # fp32 at all 3 measured training seeds
+                                   # (RESULTS.md bf16 table). Dataclass
+                                   # default stays fp32: second-order MAML's
+                                   # grad-of-grad is unmeasured in bf16.
 
 
 @dataclass

@@ -132,11 +132,18 @@ def main():
                     help="comma list from fomaml,maml,reptile,multi")
     ap.add_argument("--grad-dtype", default="float32",
                     choices=("float32", "bfloat16"),
-                    help="meta.grad_dtype (bf16 meta-step experiment); "
-                         "results keyed algo@bf16 when bfloat16")
+                    help="meta.grad_dtype. NOTE: the shipped FOMAML config "
+                         "(config3) defaults to bfloat16; this flag pins "
+                         "fp32 so the committed fp32-vs-bf16 comparison "
+                         "tables stay reproducible. Results keyed algo@bf16 "
+                         "when bfloat16")
     ap.add_argument("--seed", type=int, default=0,
                 help="training seed (train.seed); results keyed "
                      "algo@seedN for N>0")
+    ap.add_argument("--encoder", default="transformer",
+                    choices=("transformer", "conformer"),
+                    help="model.encoder; results keyed algo@conformer "
+                         "when conformer")
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny model dims (CPU-runnable script check)")
     args = ap.parse_args()
@@ -158,6 +165,7 @@ def main():
         cfg = make_cfg(algo, args.steps, data_dir, seed=args.seed,
                        grad_dtype=args.grad_dtype)
         cfg.model.vocab_size = tok.vocab_size
+        cfg.model.encoder = args.encoder
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
             cfg.model.d_ff = 64
@@ -173,6 +181,8 @@ def main():
         tag = algo if args.seed == 0 else f"{algo}@seed{args.seed}"
         if args.grad_dtype != "float32":
             tag += "@bf16"
+        if args.encoder != "transformer":
+            tag += f"@{args.encoder}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -59,6 +59,9 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
 
     cfg = Config()
     cfg.model.arch = "transformer"
+    # experiment hook (not set by the driver): BENCH_ENCODER=conformer
+    # measures the conformer encoder option at the same workload
+    cfg.model.encoder = os.environ.get("BENCH_ENCODER", "transformer")
     cfg.model.vocab_size = VOCAB
     cfg.model.dtype = "bfloat16"
     cfg.meta.inner_steps = INNER_STEPS

@@ -121,6 +121,10 @@ class MetaConfig:
                                    # (RESULTS.md bf16 table). Dataclass
                                    # default stays fp32: second-order MAML's
                                    # grad-of-grad is unmeasured in bf16.
+    learn_inner_lr: bool = False   # Meta-SGD / MAML++-LSLR: learn one inner
+                                   # rate per parameter tensor in the outer
+                                   # loop (meta/maml.py MetaAlgoConfig
+                                   # .learn_inner_lr); fomaml/maml only.
 
 
 @dataclass

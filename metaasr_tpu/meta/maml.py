@@ -72,6 +72,18 @@ class MetaAlgoConfig:
     # meta-step's internal precision drops (fast-weight updates quantized
     # to bf16). Default off; quality parity must be checked per workload.
     grad_dtype: str | None = None
+    # Learn the inner-loop learning rates (Meta-SGD, Li et al. 2017 /
+    # MAML++ LSLR, Antoniou et al. 2019 — per-parameter-TENSOR variant):
+    # the param tree becomes {"model": ..., "inner_lr": one scalar per
+    # model leaf}, the inner update is p - a * g with a the leaf's learned
+    # rate, and the OUTER optimizer trains the rates alongside the model
+    # (they ride the same vmap/psum path — zero extra collectives).
+    # First-order semantics stay exact: the stop_gradient detaches the
+    # inner GRADIENT's input, not the rate, so d(query)/d(a) = -dq/dp' * g
+    # flows even under FOMAML. Rates are unconstrained (Meta-SGD allows
+    # sign flips) and initialized at inner_lr. Not applicable to Reptile
+    # (its outer "gradient" is a parameter delta — no rate signal exists).
+    learn_inner_lr: bool = False
 
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
@@ -84,6 +96,27 @@ MAX_UNROLL_STEPS = 8
 
 def sgd_update(params, grads, lr):
     return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+
+def split_lr(params):
+    """Split a learnable-inner-lr param tree into (model, lr_tree).
+
+    Trees not wrapped by ``wrap_lr`` pass through as (params, None), so
+    every consumer (decode, meta_adapt, the mono trainers' eval wrapper)
+    accepts both layouts without caring which algorithm produced them.
+    """
+    if (isinstance(params, dict) and set(params.keys())
+            == {"model", "inner_lr"}):
+        return params["model"], params["inner_lr"]
+    return params, None
+
+
+def wrap_lr(model_params, init_lr: float):
+    """Attach Meta-SGD learnable inner rates: one fp32 scalar per model
+    leaf, initialized at ``init_lr`` (see MetaAlgoConfig.learn_inner_lr)."""
+    lr_tree = jax.tree_util.tree_map(
+        lambda _: jnp.asarray(init_lr, jnp.float32), model_params)
+    return {"model": model_params, "inner_lr": lr_tree}
 
 
 def _cast_floats(tree, dtype):
@@ -121,10 +154,17 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     """
 
     def one_step(params, step_rng, batch):
-        at = jax.lax.stop_gradient(params) if cfg.first_order else params
+        model, lr = split_lr(params)
+        at = jax.lax.stop_gradient(model) if cfg.first_order else model
         (loss, _), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, step_rng, train), has_aux=True)(at)
-        return sgd_update(params, grads, cfg.inner_lr), loss
+        if lr is None:
+            return sgd_update(model, grads, cfg.inner_lr), loss
+        # learned per-leaf rate; the rate itself is NOT detached, so the
+        # outer grad reaches it even under first-order (see MetaAlgoConfig)
+        new_model = jax.tree_util.tree_map(
+            lambda p, g, a: p - a.astype(p.dtype) * g, model, grads, lr)
+        return {"model": new_model, "inner_lr": lr}, loss
 
     # Remat only matters when the outer grad flows THROUGH the inner steps
     # (second-order MAML). First-order cuts that path, so remat would only
@@ -168,7 +208,7 @@ def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig,
             support = preprocess_fn(support, r_ps, True)
             query = preprocess_fn(query, r_pq, True)
         adapted, s_losses = inner_adapt(params, support, r_in)
-        q_loss, _ = loss_fn(adapted, query, r_q, True)
+        q_loss, _ = loss_fn(split_lr(adapted)[0], query, r_q, True)
         return q_loss, s_losses[0]
 
     def meta_loss(params, meta_batch, rng):

@@ -40,6 +40,7 @@ import numpy as np
 from metaasr_tpu.models.transformer import (
     Conv2dSubsampling,
     length_mask_bias,
+    sinusoidal_positions,
 )
 from metaasr_tpu.utils.padding import make_non_pad_mask, subsampled_lengths
 
@@ -194,6 +195,7 @@ class ConformerEncoder(nn.Module):
     num_layers: int
     dropout: float
     kernel_size: int = 15
+    max_len: int = 4096
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,9 +205,22 @@ class ConformerEncoder(nn.Module):
         x = Conv2dSubsampling(self.d_model, self.dtype, name="subsample")(feats)
         out_lens = subsampled_lengths(feat_lens, 4)
         t_len = x.shape[1]
-        # no absolute positions: position information is carried per-layer
-        # by the relative-attention term
-        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        # Absolute sinusoidal positions are added AS A VARIANCE FLOOR, not
+        # for position information (the rel-attention term carries that
+        # per-layer). Without them, a SpecAugment time-masked input region
+        # maps (through the zero-init-bias subsampler) to an exactly-
+        # constant feature vector at every masked frame; LayerNorm of a
+        # constant vector has sigma=0 and its backward multiplies by
+        # 1/sqrt(eps) ~ 1e3 — measured: the loss gradient at layer 0's
+        # input was 1000x the gradient one LN downstream, the subsample
+        # proj BIAS gradient hit rms 4.7e4 (kernel rms 0.15), and training
+        # converged ~3x slower than the transformer encoder until this
+        # floor was added. torch escapes the same trap only through its
+        # nonzero default bias init; the PE floor also covers degenerate
+        # inputs the init trick cannot (see docs/DESIGN.md section 7).
+        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.d_model))
+        x = (x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+             + pe[None, :t_len].astype(x.dtype))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         bias = length_mask_bias(out_lens, t_len)
         pad_mask = make_non_pad_mask(out_lens, t_len)[..., None]

@@ -30,6 +30,8 @@ from metaasr_tpu.meta.maml import (
     make_inner_adapt,
     maml_grads,
     reptile_grads,
+    split_lr,
+    wrap_lr,
 )
 from metaasr_tpu.parallel.mesh import replicated
 from metaasr_tpu.train.checkpoint import CheckpointManager
@@ -56,13 +58,19 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
     algo = cfg.meta.algo
     if algo not in ("fomaml", "maml", "reptile"):
         raise ValueError(f"meta algo must be fomaml|maml|reptile, got {algo}")
+    if cfg.meta.learn_inner_lr and algo == "reptile":
+        raise ValueError(
+            "meta.learn_inner_lr needs a query gradient to train the rates; "
+            "Reptile's outer update is a parameter delta (no rate signal) — "
+            "use fomaml or maml")
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo != "maml"),
                           remat_inner=cfg.meta.remat_inner,
                           unroll_inner=cfg.meta.unroll_inner,
                           grad_dtype=(None if cfg.meta.grad_dtype == "float32"
-                                      else cfg.meta.grad_dtype))
+                                      else cfg.meta.grad_dtype),
+                          learn_inner_lr=cfg.meta.learn_inner_lr)
 
 
 class MetaASRTrainer:
@@ -221,6 +229,11 @@ class MetaASRTrainer:
                             self.cfg.data.max_tokens)
             sample = {k: v for k, v in batch.items() if k != "texts"}
         params = self.task.init_params(rng, sample)
+        if self.cfg.meta.learn_inner_lr:
+            # Meta-SGD/LSLR: the learned rates live in the param tree so
+            # the outer optimizer, checkpoints, --avg-last and the mesh
+            # shardings all treat them as ordinary meta-parameters
+            params = wrap_lr(params, self.cfg.meta.inner_lr)
         from metaasr_tpu.train.mono import init_track
 
         return MetaTrainState(params=params,
@@ -357,7 +370,9 @@ class MetaASRTrainer:
                  if kk != "texts"}
         adapted = self._jit_adapt(steps)(params, batch,
                                          jax.random.PRNGKey(seed))
-        return adapted, test_idx
+        # learnable-inner-lr trees adapt WITH their learned rates, then
+        # hand decode a plain model tree (split_lr is a no-op otherwise)
+        return split_lr(adapted)[0], test_idx
 
     def _jit_adapt(self, steps: int):
         """Cached jitted k-shot adaptation fn (avoids retracing per eval)."""
@@ -401,6 +416,7 @@ class MetaASRTrainer:
         batch i's readback (measured 2.4x decode throughput at B=16:
         115 -> 273 utts/s).
         """
+        params = split_lr(params)[0]   # zero-shot decode of a wrapped tree
         indices = list(indices if indices is not None else range(len(dataset)))
         indices = indices[:max_utts]
         hyps, refs = [], []

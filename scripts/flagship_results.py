@@ -144,6 +144,10 @@ def main():
                     choices=("transformer", "conformer"),
                     help="model.encoder; results keyed algo@conformer "
                          "when conformer")
+    ap.add_argument("--learn-inner-lr", action="store_true",
+                    help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
+                         "per-tensor inner rates); results keyed "
+                         "algo@metasgd")
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny model dims (CPU-runnable script check)")
     args = ap.parse_args()
@@ -166,6 +170,8 @@ def main():
                        grad_dtype=args.grad_dtype)
         cfg.model.vocab_size = tok.vocab_size
         cfg.model.encoder = args.encoder
+        if args.learn_inner_lr and algo != "multi":
+            cfg.meta.learn_inner_lr = True
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
             cfg.model.d_ff = 64
@@ -183,6 +189,8 @@ def main():
             tag += "@bf16"
         if args.encoder != "transformer":
             tag += f"@{args.encoder}"
+        if args.learn_inner_lr and algo != "multi":
+            tag += "@metasgd"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -144,6 +144,14 @@ def main():
                     choices=("transformer", "conformer"),
                     help="model.encoder; results keyed algo@conformer "
                          "when conformer")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="optimizer.lr (Noam base) override. The conformer "
+                         "encoder needs ~2x the transformer's base rate: "
+                         "both train fully grad-clipped, but 600-step "
+                         "probes on the hard benchmark read meta_loss "
+                         "14.35 (lr=1.0) vs 21.73 (shipped lr=0.5) — the "
+                         "shipped schedule under-steps it ~3x in "
+                         "wall-steps (docs/DESIGN.md section 7)")
     ap.add_argument("--learn-inner-lr", action="store_true",
                     help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
                          "per-tensor inner rates); results keyed "
@@ -172,6 +180,8 @@ def main():
         cfg.model.encoder = args.encoder
         if args.learn_inner_lr and algo != "multi":
             cfg.meta.learn_inner_lr = True
+        if args.lr is not None:
+            cfg.optimizer.lr = args.lr
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
             cfg.model.d_ff = 64

@@ -156,3 +156,35 @@ def test_conformer_beam_decode_smoke(rng):
     assert np.all(np.asarray(out["lengths"]) >= 0)
     best = np.asarray(out["scores"])[:, 0]
     assert np.all(np.isfinite(best))
+
+
+def test_conformer_masked_region_gradient_bounded(rng):
+    """Regression for the LayerNorm-backward trap (docs/DESIGN.md sec 7):
+    a SpecAugment-style zeroed time region used to map (through the
+    zero-init subsample projection) to an exactly-constant feature vector,
+    whose LayerNorm backward scales by 1/sqrt(eps) ~ 1e3 — measured bias
+    grad rms 4.7e4 vs kernel rms 0.15 before the PE variance floor was
+    added. The floor must keep the masked-region gradient in the same
+    range as the unmasked one."""
+    enc = ConformerEncoder(d_model=32, num_heads=2, d_ff=64, num_layers=2,
+                           dropout=0.0, kernel_size=7)
+    feats = rng.standard_normal((2, 48, 80)).astype(np.float32)
+    feats[:, 16:32] = 0.0  # time-masked region INSIDE the valid length
+    feats = jnp.asarray(feats)
+    lens = jnp.array([48, 48])
+    params = enc.init(jax.random.PRNGKey(0), feats, lens, False)["params"]
+
+    def loss(p):
+        out, _ = enc.apply({"params": p}, feats, lens, False)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    proj = g["subsample"]["proj"]
+
+    def rms(x):
+        return float(jnp.sqrt(jnp.mean(x ** 2)))
+
+    bias_rms, kernel_rms = rms(proj["bias"]), rms(proj["kernel"])
+    # before the fix the bias/kernel grad ratio was ~3e5; with the
+    # variance floor both gradients sit within ~2 orders of magnitude
+    assert bias_rms < 100.0 * max(kernel_rms, 1e-6), (bias_rms, kernel_rms)

@@ -125,6 +125,11 @@ class MetaConfig:
                                    # rate per parameter tensor in the outer
                                    # loop (meta/maml.py MetaAlgoConfig
                                    # .learn_inner_lr); fomaml/maml only.
+    inner_clip: float = 0.0        # global-norm clip on the inner-loop
+                                   # gradient (0 = off); see meta/maml.py
+                                   # MetaAlgoConfig.inner_clip — stabilizes
+                                   # encoders whose support gradients are
+                                   # large at the meta-point (conformer).
 
 
 @dataclass

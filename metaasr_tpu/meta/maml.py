@@ -84,6 +84,19 @@ class MetaAlgoConfig:
     # sign flips) and initialized at inner_lr. Not applicable to Reptile
     # (its outer "gradient" is a parameter delta — no rate signal exists).
     learn_inner_lr: bool = False
+    # Global-norm clip on the INNER-loop gradient (0 = off). The outer
+    # optimizer is clipped (optax clip_by_global_norm) but the inner SGD
+    # was not; some encoders need it: at init the conformer's support
+    # gradient norm is ~300 (2x the transformer's) and a single
+    # inner_lr=0.01 step moves the params by norm ~3, after which the
+    # support loss and gradient norm spike (measured:
+    # scripts/conformer_inner_probe.py — support 32->22->45, gnorm 470).
+    # Clipping the inner step bounds the adaptation displacement without
+    # shrinking well-behaved steps (MAML++-style stabilization). The clip
+    # SCALE is stop_gradient'd: under second-order MAML the meta-gradient
+    # treats the scale as a constant (standard practice; differentiating
+    # through the norm adds a rank-1 curvature term with high variance).
+    inner_clip: float = 0.0
 
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
@@ -158,6 +171,14 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
         at = jax.lax.stop_gradient(model) if cfg.first_order else model
         (loss, _), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, step_rng, train), has_aux=True)(at)
+        if cfg.inner_clip:
+            gn = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
+            scale = jax.lax.stop_gradient(
+                jnp.minimum(1.0, cfg.inner_clip / (gn + 1e-12)))
+            grads = jax.tree_util.tree_map(
+                lambda g: g * scale.astype(g.dtype), grads)
         if lr is None:
             return sgd_update(model, grads, cfg.inner_lr), loss
         # learned per-leaf rate; the rate itself is NOT detached, so the

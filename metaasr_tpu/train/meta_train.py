@@ -70,7 +70,8 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
                           unroll_inner=cfg.meta.unroll_inner,
                           grad_dtype=(None if cfg.meta.grad_dtype == "float32"
                                       else cfg.meta.grad_dtype),
-                          learn_inner_lr=cfg.meta.learn_inner_lr)
+                          learn_inner_lr=cfg.meta.learn_inner_lr,
+                          inner_clip=cfg.meta.inner_clip)
 
 
 class MetaASRTrainer:
@@ -384,7 +385,8 @@ class MetaASRTrainer:
                 self.task.loss_fn,
                 MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
                                first_order=True, remat_inner=False,
-                               unroll_inner=m.unroll_inner),
+                               unroll_inner=m.unroll_inner,
+                               inner_clip=m.inner_clip),
                 train=True)
 
             def adapt(p, b, r):

@@ -152,6 +152,14 @@ def main():
                          "14.35 (lr=1.0) vs 21.73 (shipped lr=0.5) — the "
                          "shipped schedule under-steps it ~3x in "
                          "wall-steps (docs/DESIGN.md section 7)")
+    ap.add_argument("--inner-lr", type=float, default=None,
+                    help="meta.inner_lr override; results keyed "
+                         "algo@ilrX. Motivated by the conformer: at the "
+                         "shipped 0.01 its inner loop is unstable at init "
+                         "(support loss 32->22->45, grad-norm spike 470 — "
+                         "scripts/conformer_inner_probe.py) while 0.001 "
+                         "descends cleanly and adapts BETTER than the "
+                         "transformer (query 31.97->21.58 vs 31.29->22.70)")
     ap.add_argument("--learn-inner-lr", action="store_true",
                     help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
                          "per-tensor inner rates); results keyed "
@@ -180,6 +188,8 @@ def main():
         cfg.model.encoder = args.encoder
         if args.learn_inner_lr and algo != "multi":
             cfg.meta.learn_inner_lr = True
+        if args.inner_lr is not None and algo != "multi":
+            cfg.meta.inner_lr = args.inner_lr
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
         if args.tiny:
@@ -201,6 +211,8 @@ def main():
             tag += f"@{args.encoder}"
         if args.learn_inner_lr and algo != "multi":
             tag += "@metasgd"
+        if args.inner_lr is not None and algo != "multi":
+            tag += f"@ilr{args.inner_lr:g}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -191,7 +191,7 @@ def test_lm_state_regathered_like_caches(rng):
     decoder_step_fn, caches, enc_lens, ctc_logits = _mock_beam_inputs(
         rng, k=k, vocab=vocab)
 
-    cfg = BeamSearchConfig(beam_size=k, max_len=5, ctc_weight=0.3,
+    cfg = BeamSearchConfig(beam_size=k, max_len=8, ctc_weight=0.3,
                            lm_weight=0.9, normalize_final=False)
     out = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
                               eos, cfg, lm_step_fn=lm_step_fn,
@@ -199,9 +199,16 @@ def test_lm_state_regathered_like_caches(rng):
     base = batched_beam_search(decoder_step_fn, caches, enc_lens, ctc_logits,
                                eos, cfg)
 
-    toks = np.asarray(out["tokens"])[0, 0]
-    length = int(np.asarray(out["lengths"])[0, 0])
-    assert bool(np.asarray(out["finished"])[0, 0])
+    # The cumulative-tracker invariant holds for ANY finished hypothesis;
+    # demanding the top-1 specifically be finished made the test hinge on
+    # host-dependent float scheduling of an untrained LM (observed: green
+    # on one machine, red after a host change). Rescore the best finished
+    # hypothesis in the beam instead.
+    finished = np.asarray(out["finished"])[0]
+    assert finished.any(), "no finished hypothesis in the beam"
+    hyp = int(np.argmax(finished))                # beam is sorted by score
+    toks = np.asarray(out["tokens"])[0, hyp]
+    length = int(np.asarray(out["lengths"])[0, hyp])
     seq = [int(t) for t in toks[:length]]
 
     # independent sequential rescore of exactly the winning token sequence
@@ -226,7 +233,7 @@ def test_lm_state_regathered_like_caches(rng):
     att_cum = (length + 1) * -np.log(vocab)
     expected = ((1 - cfg.ctc_weight) * att_cum + cfg.ctc_weight * gamma
                 + cfg.lm_weight * lm_cum)
-    np.testing.assert_allclose(float(np.asarray(out["scores"])[0, 0]),
+    np.testing.assert_allclose(float(np.asarray(out["scores"])[0, hyp]),
                                expected, rtol=1e-4)
     # and the fused search must actually differ from the lm-free one in
     # score space (weight 0.9 on a random LM): guards against the LM term

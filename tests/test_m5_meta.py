@@ -250,3 +250,52 @@ def test_algo_config_grad_dtype_plumbing():
     assert algo_config(cfg).grad_dtype is None
     cfg.meta.grad_dtype = "bfloat16"
     assert algo_config(cfg).grad_dtype == "bfloat16"
+
+
+def test_inner_clip_bounds_update_and_noop_when_large():
+    """inner_clip: when the support gradient's global norm exceeds the
+    clip, the inner step displacement is exactly lr*clip along the
+    gradient direction; a clip far above the norm reproduces the
+    unclipped update bit-for-bit (scale=1 multiply)."""
+    w, c_s, _, _ = _setup(d=5, k=1, lr=0.1)
+    gnorm = float(jnp.linalg.norm(w - c_s))  # quad grad = w - c
+
+    clip = 0.25 * gnorm
+    cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=1, inner_clip=clip)
+    adapted, _ = make_inner_adapt(quad_loss, cfg)(
+        {"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+    step = np.asarray(adapted["w"] - w)
+    np.testing.assert_allclose(np.linalg.norm(step), 0.1 * clip, rtol=1e-5)
+    # direction preserved: step is anti-parallel to the gradient
+    g = np.asarray(w - c_s)
+    np.testing.assert_allclose(step / np.linalg.norm(step),
+                               -g / np.linalg.norm(g), rtol=1e-5)
+
+    big = MetaAlgoConfig(inner_lr=0.1, inner_steps=1, inner_clip=1e9)
+    off = MetaAlgoConfig(inner_lr=0.1, inner_steps=1)
+    a_big, _ = make_inner_adapt(quad_loss, big)(
+        {"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+    a_off, _ = make_inner_adapt(quad_loss, off)(
+        {"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(a_big["w"]), np.asarray(a_off["w"]),
+                               rtol=1e-6)
+
+
+def test_inner_clip_fomaml_outer_grad_at_clipped_point():
+    """Under FOMAML the outer grad must be the query gradient evaluated at
+    the CLIPPED adapted point (and the clip scale is stop_gradient'd, so
+    no extra terms appear even for second-order MAML on this linear-grad
+    family where the analytic Jacobian is (1 - lr*scale)^k)."""
+    w, c_s, c_q, _ = _setup(d=5, k=2, lr=0.1)
+    gnorm = float(jnp.linalg.norm(w - c_s))
+    clip = 0.5 * gnorm
+
+    cfg = MetaAlgoConfig(inner_lr=0.1, inner_steps=2, first_order=True,
+                         inner_clip=clip)
+    meta_batch = {"support": {"c": c_s[None]}, "query": {"c": c_q[None]}}
+    grads, _ = maml_grads(quad_loss, cfg)({"w": w}, meta_batch,
+                                          jax.random.PRNGKey(0))
+    adapted, _ = make_inner_adapt(quad_loss, cfg)(
+        {"w": w}, {"c": c_s}, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(grads["w"]),
+                               np.asarray(adapted["w"] - c_q), rtol=1e-5)

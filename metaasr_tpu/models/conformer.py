@@ -23,9 +23,11 @@ TPU-first design decisions:
 - **Masked depthwise conv.** Attention output at padded frames is
   garbage (masked *keys*, not queries); the conv module re-zeros padded
   frames before the depthwise conv so boundary windows of valid frames
-  never read it. Depthwise = ``feature_group_count=d`` (XLA lowers this
-  to an efficient per-channel conv; at kernel 15 x d=256 it is a
-  bandwidth-trivial op next to the FFN GEMMs).
+  never read it. The depthwise conv is K static shifted multiply-adds,
+  NOT ``feature_group_count=d`` — the grouped-conv primitive's vmapped
+  gradient lowers incorrectly on TPU and silently corrupted every
+  meta-gradient (see DepthwiseConv1d; docs/DESIGN.md section 8). At
+  kernel 15 x d=256 it is a bandwidth-trivial op next to the FFN GEMMs.
 """
 
 from __future__ import annotations
@@ -112,6 +114,51 @@ class RelPosSelfAttention(nn.Module):
         return self.out(out)
 
 
+class DepthwiseConv1d(nn.Module):
+    """Per-channel (depthwise) 1-D conv as K static shifted multiply-adds.
+
+    Replaces ``nn.Conv(feature_group_count=d_model)``. The grouped-conv
+    primitive's **vmapped gradient lowers incorrectly on TPU**: with the
+    nn.Conv form, the FOMAML outer gradient computed through the task-vmapped
+    meta loss diverged from an explicit per-task loop by ~1e3 relative
+    (grad-norm 167–199 vmapped vs 64 looped, worst leaves all in the conv
+    module's neighbors; measured on-chip at both fp32 and bf16 —
+    scripts/vmap_parity_probe.py, docs/DESIGN.md section 8). That silently
+    broke conformer meta-training (CTC head mode-collapsed, WER ~1.0) while
+    the unvmapped multitask path — the only path the conv tests exercised —
+    stayed correct.
+
+    The shifted-sum form uses only pad/slice/FMA ops, whose batching and
+    transpose rules are trivially correct, and is bandwidth-trivial next to
+    the FFN GEMMs (K elementwise FMAs on [B, T, C]; K=15, C=256). Param
+    layout matches the nn.Conv it replaces (kernel [K, 1, C], bias [C],
+    lecun-normal / zeros init) so existing checkpoints load unchanged.
+    """
+
+    features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        w = kernel[:, 0, :].astype(self.dtype)
+        t = x.shape[1]
+        # TF/XLA "SAME" padding for stride 1: lo = (k-1)//2, hi = rest;
+        # cross-correlation (no kernel flip), matching nn.Conv semantics:
+        # out[t] = sum_i x[t - lo + i] * w[i]
+        lo = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, k - 1 - lo), (0, 0)))
+        y = xp[:, :t] * w[0]
+        for i in range(1, k):
+            y = y + jax.lax.slice_in_dim(xp, i, i + t, axis=1) * w[i]
+        return y + bias.astype(self.dtype)
+
+
 class ConvModule(nn.Module):
     """Pointwise(2d)+GLU -> masked depthwise(kernel) -> LN -> swish ->
     pointwise(d). LayerNorm instead of the paper's BatchNorm (stateless —
@@ -128,9 +175,8 @@ class ConvModule(nn.Module):
         x = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
         x = nn.glu(x, axis=-1)
         x = jnp.where(pad_mask, x, 0.0)  # conv windows must not read pad
-        x = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
-                    feature_group_count=self.d_model, dtype=self.dtype,
-                    name="depthwise")(x)
+        x = DepthwiseConv1d(self.d_model, self.kernel_size, self.dtype,
+                            name="depthwise")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = nn.swish(x)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(x)

@@ -42,7 +42,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-jax.config.update("jax_default_prng_impl", "rbg")
 
 from metaasr_tpu.config import load_config
 from metaasr_tpu.data.dataset import load_accent_datasets
@@ -68,7 +67,23 @@ def main():
     ap.add_argument("--encoders", default="conformer,transformer")
     ap.add_argument("--dtypes", default="bfloat16,float32")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prng", default="rbg", choices=("rbg", "threefry2x32"),
+                    help="rbg matches training but its random STREAMS are "
+                         "not vmap-invariant: dropout/SpecAugment draws "
+                         "differ between the vmapped and looped paths, so "
+                         "with stochastic layers on, rbg rows measure "
+                         "draw-sensitivity, NOT lowering correctness. Use "
+                         "threefry2x32 (vmap-invariant) or --deterministic "
+                         "for a true lowering-parity check")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="dropout=0 + SpecAugment off: the two paths "
+                         "compute the SAME mathematical function, so any "
+                         "residual gap is numerics/lowering")
+    ap.add_argument("--inner-steps", type=int, default=None,
+                    help="override meta.inner_steps (0 disables the inner "
+                         "loop entirely: outer grad == plain query grad)")
     args = ap.parse_args()
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     if not os.path.exists(os.path.join(args.data_dir, f"{HELDOUT}.jsonl")):
         generate_dataset(args.data_dir, accents=ACCENTS_HARD,
@@ -86,6 +101,11 @@ def main():
                 "train.eval_every": 10 ** 9,
                 "model.dtype": dtype,
             })
+            if args.deterministic:
+                cfg.model.dropout = 0.0
+                cfg.specaug.enabled = False
+            if args.inner_steps is not None:
+                cfg.meta.inner_steps = args.inner_steps
             tok = CharTokenizer.ascii_default()
             cfg.model.vocab_size = tok.vocab_size
             cfg.model.encoder = encoder

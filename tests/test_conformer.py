@@ -158,6 +158,78 @@ def test_conformer_beam_decode_smoke(rng):
     assert np.all(np.isfinite(best))
 
 
+def test_depthwise_conv_matches_grouped_nn_conv(rng):
+    """DepthwiseConv1d (shifted-sum form) ≡ nn.Conv(feature_group_count=C)
+    in forward AND gradients. The CPU lowering of the grouped conv is
+    correct (only its TPU vmapped-gradient lowering is broken — the reason
+    the shifted-sum form exists; docs/DESIGN.md section 8), so nn.Conv is a
+    valid golden here."""
+    import flax.linen as nn
+
+    from metaasr_tpu.models.conformer import DepthwiseConv1d
+
+    b, t, c, k = 3, 17, 8, 7
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    dw = DepthwiseConv1d(features=c, kernel_size=k)
+    params = dw.init(jax.random.PRNGKey(0), x)["params"]
+    ref = nn.Conv(c, (k,), padding="SAME", feature_group_count=c)
+    assert params["kernel"].shape == (k, 1, c)  # layout parity with nn.Conv
+
+    def loss_new(p, x):
+        return jnp.sum(jnp.sin(dw.apply({"params": p}, x)))
+
+    def loss_ref(p, x):
+        return jnp.sum(jnp.sin(ref.apply({"params": p}, x)))
+
+    np.testing.assert_allclose(
+        np.asarray(dw.apply({"params": params}, x)),
+        np.asarray(ref.apply({"params": params}, x)), rtol=1e-5, atol=1e-5)
+    g_new = jax.grad(loss_new, argnums=(0, 1))(params, x)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_new),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+    # even kernel size: padding split lo=(k-1)//2 / hi=rest must also match
+    dw6 = DepthwiseConv1d(features=c, kernel_size=6)
+    p6 = dw6.init(jax.random.PRNGKey(1), x)["params"]
+    ref6 = nn.Conv(c, (6,), padding="SAME", feature_group_count=c)
+    np.testing.assert_allclose(
+        np.asarray(dw6.apply({"params": p6}, x)),
+        np.asarray(ref6.apply({"params": p6}, x)), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_module_vmap_grad_matches_loop(rng):
+    """Gradients of the conv module under a task-style vmap equal the
+    per-item python loop (the exact property whose violation on TPU broke
+    conformer meta-training; this CPU pin guards the module's ops against
+    reintroducing a primitive with a bad batching rule)."""
+    from metaasr_tpu.models.conformer import ConvModule
+
+    m, b, t, c = 3, 2, 11, 8
+    mod = ConvModule(d_model=c, kernel_size=7, dropout=0.0)
+    x = jnp.asarray(rng.standard_normal((m, b, t, c)).astype(np.float32))
+    mask = jnp.ones((m, b, t, 1), bool)
+    params = mod.init(jax.random.PRNGKey(0), x[0], mask[0], False)["params"]
+
+    def item_loss(p, xi, mi):
+        return jnp.sum(jnp.abs(mod.apply({"params": p}, xi, mi, False)))
+
+    def vmapped(p):
+        return jax.vmap(item_loss, in_axes=(None, 0, 0))(p, x, mask).mean()
+
+    g_v = jax.grad(vmapped)(params)
+    acc = None
+    for i in range(m):
+        gi = jax.grad(item_loss)(params, x[i], mask[i])
+        acc = gi if acc is None else jax.tree_util.tree_map(jnp.add, acc, gi)
+    g_l = jax.tree_util.tree_map(lambda g: g / m, acc)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_v),
+                     jax.tree_util.tree_leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_conformer_masked_region_gradient_bounded(rng):
     """Regression for the LayerNorm-backward trap (docs/DESIGN.md sec 7):
     a SpecAugment-style zeroed time region used to map (through the

@@ -160,6 +160,14 @@ def main():
                          "scripts/conformer_inner_probe.py) while 0.001 "
                          "descends cleanly and adapts BETTER than the "
                          "transformer (query 31.97->21.58 vs 31.29->22.70)")
+    ap.add_argument("--inner-clip", type=float, default=None,
+                    help="meta.inner_clip (global-norm clip on the inner "
+                         "SGD gradient); results keyed algo@iclipX. The "
+                         "conformer's support grad-norm at init is ~300 "
+                         "and its outer gradient is hyper-sensitive to "
+                         "augmentation draws (scripts/vmap_parity_probe.py) "
+                         "— clipping bounds the per-step adaptation "
+                         "displacement")
     ap.add_argument("--learn-inner-lr", action="store_true",
                     help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
                          "per-tensor inner rates); results keyed "
@@ -190,6 +198,8 @@ def main():
             cfg.meta.learn_inner_lr = True
         if args.inner_lr is not None and algo != "multi":
             cfg.meta.inner_lr = args.inner_lr
+        if args.inner_clip is not None and algo != "multi":
+            cfg.meta.inner_clip = args.inner_clip
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
         if args.tiny:
@@ -213,6 +223,8 @@ def main():
             tag += "@metasgd"
         if args.inner_lr is not None and algo != "multi":
             tag += f"@ilr{args.inner_lr:g}"
+        if args.inner_clip is not None and algo != "multi":
+            tag += f"@iclip{args.inner_clip:g}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -130,6 +130,15 @@ class MetaConfig:
                                    # MetaAlgoConfig.inner_clip — stabilizes
                                    # encoders whose support gradients are
                                    # large at the meta-point (conformer).
+    adapt_filter: str = ""         # ANIL partial inner adaptation: comma-
+                                   # separated substrings of param paths the
+                                   # inner loop may update ("" = all params;
+                                   # e.g. "ctc_head,decoder" adapts the heads
+                                   # and freezes the encoder). The outer loop
+                                   # still trains everything. See meta/maml.py
+                                   # MetaAlgoConfig.adapt_filter — required
+                                   # for stable conformer meta-training
+                                   # (docs/DESIGN.md section 8).
 
 
 @dataclass

@@ -97,6 +97,22 @@ class MetaAlgoConfig:
     # treats the scale as a constant (standard practice; differentiating
     # through the norm adds a rank-1 curvature term with high variance).
     inner_clip: float = 0.0
+    # Partial inner adaptation (ANIL, Raghu et al. 2020 "Rapid Learning or
+    # Feature Reuse"): when set, the INNER loop updates only the leaves
+    # whose '/'-joined param path contains one of these substrings (e.g.
+    # ("ctc_head", "decoder") adapts the heads and freezes the encoder);
+    # the OUTER optimizer still trains every parameter. Motivation beyond
+    # the ANIL paper's "feature reuse suffices": our conformer dissection
+    # (docs/DESIGN.md section 8) showed the inner SGD trajectory through a
+    # deep conv-attention body is CHAOTIC — different augmentation draws
+    # land at adapted points so far apart that the outer gradient is mostly
+    # draw noise and the CTC head never organizes (5-shot WER ~1.0, while
+    # inner_lr=0 trains to 0.22). Restricting adaptation to the
+    # near-convex head subproblem removes the chaos at its source instead
+    # of damping it (clipping the same trajectory did NOT fix it). Bonus:
+    # frozen leaves' inner gradients are never consumed, so XLA dead-code
+    # -eliminates the encoder's inner-loop weight-gradient computation.
+    adapt_filter: tuple[str, ...] | None = None
 
 
 LossFn = Callable  # (params, batch, rng, train) -> (scalar, aux)
@@ -130,6 +146,26 @@ def wrap_lr(model_params, init_lr: float):
     lr_tree = jax.tree_util.tree_map(
         lambda _: jnp.asarray(init_lr, jnp.float32), model_params)
     return {"model": model_params, "inner_lr": lr_tree}
+
+
+def adapt_mask(model, patterns: tuple[str, ...]):
+    """Tree of python bools: leaf adapted iff its '/'-joined path contains
+    any pattern (MetaAlgoConfig.adapt_filter). Computed at trace time —
+    paths are static — so the mask costs nothing in the compiled step."""
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: any(pat in path_str(path) for pat in patterns),
+        model)
+    if not any(jax.tree_util.tree_leaves(mask)):
+        raise ValueError(
+            f"adapt_filter {patterns} matches no parameter leaf; "
+            "the inner loop would be a no-op. Param path roots: "
+            f"{sorted(set(str(getattr(p[0], 'key', p[0])) for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]))}")
+    return mask
 
 
 def _cast_floats(tree, dtype):
@@ -168,23 +204,32 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
 
     def one_step(params, step_rng, batch):
         model, lr = split_lr(params)
+        mask = adapt_mask(model, cfg.adapt_filter) if cfg.adapt_filter \
+            else jax.tree_util.tree_map(lambda _: True, model)
         at = jax.lax.stop_gradient(model) if cfg.first_order else model
         (loss, _), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, step_rng, train), has_aux=True)(at)
         if cfg.inner_clip:
+            # norm over the ADAPTED leaves only: a frozen subtree's (unused,
+            # soon-DCE'd) gradients must not shrink the clip scale
             gn = jnp.sqrt(sum(
                 jnp.sum(jnp.square(g.astype(jnp.float32)))
-                for g in jax.tree_util.tree_leaves(grads)))
+                for g, k in zip(jax.tree_util.tree_leaves(grads),
+                                jax.tree_util.tree_leaves(mask)) if k))
             scale = jax.lax.stop_gradient(
                 jnp.minimum(1.0, cfg.inner_clip / (gn + 1e-12)))
             grads = jax.tree_util.tree_map(
                 lambda g: g * scale.astype(g.dtype), grads)
         if lr is None:
-            return sgd_update(model, grads, cfg.inner_lr), loss
+            new_model = jax.tree_util.tree_map(
+                lambda p, g, k: p - cfg.inner_lr * g if k else p,
+                model, grads, mask)
+            return new_model, loss
         # learned per-leaf rate; the rate itself is NOT detached, so the
         # outer grad reaches it even under first-order (see MetaAlgoConfig)
         new_model = jax.tree_util.tree_map(
-            lambda p, g, a: p - a.astype(p.dtype) * g, model, grads, lr)
+            lambda p, g, a, k: p - a.astype(p.dtype) * g if k else p,
+            model, grads, lr, mask)
         return {"model": new_model, "inner_lr": lr}, loss
 
     # Remat only matters when the outer grad flows THROUGH the inner steps

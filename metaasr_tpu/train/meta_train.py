@@ -63,6 +63,11 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
             "meta.learn_inner_lr needs a query gradient to train the rates; "
             "Reptile's outer update is a parameter delta (no rate signal) — "
             "use fomaml or maml")
+    if _adapt_filter(cfg) and algo == "reptile":
+        raise ValueError(
+            "meta.adapt_filter is incompatible with Reptile: its outer "
+            "gradient IS the inner delta, so filtered (frozen) leaves would "
+            "never train at all — use fomaml or maml")
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo != "maml"),
@@ -71,7 +76,15 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
                           grad_dtype=(None if cfg.meta.grad_dtype == "float32"
                                       else cfg.meta.grad_dtype),
                           learn_inner_lr=cfg.meta.learn_inner_lr,
-                          inner_clip=cfg.meta.inner_clip)
+                          inner_clip=cfg.meta.inner_clip,
+                          adapt_filter=_adapt_filter(cfg))
+
+
+def _adapt_filter(cfg: Config) -> tuple[str, ...] | None:
+    """meta.adapt_filter "a,b" -> ("a", "b"); "" -> None (adapt all)."""
+    pats = tuple(s.strip() for s in cfg.meta.adapt_filter.split(",")
+                 if s.strip())
+    return pats or None
 
 
 class MetaASRTrainer:
@@ -386,7 +399,8 @@ class MetaASRTrainer:
                 MetaAlgoConfig(inner_lr=m.inner_lr, inner_steps=steps,
                                first_order=True, remat_inner=False,
                                unroll_inner=m.unroll_inner,
-                               inner_clip=m.inner_clip),
+                               inner_clip=m.inner_clip,
+                               adapt_filter=_adapt_filter(self.cfg)),
                 train=True)
 
             def adapt(p, b, r):

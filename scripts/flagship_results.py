@@ -172,6 +172,13 @@ def main():
                     help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
                          "per-tensor inner rates); results keyed "
                          "algo@metasgd")
+    ap.add_argument("--adapt-filter", default=None,
+                    help="meta.adapt_filter (ANIL partial inner adaptation; "
+                         "comma-separated param-path substrings, e.g. "
+                         "'ctc_head,decoder'); results keyed algo@anil-X. "
+                         "The conformer fix: its inner SGD through the full "
+                         "body is chaotic (DESIGN.md section 8) — head-only "
+                         "adaptation removes the chaos at its source")
     ap.add_argument("--tiny", action="store_true",
                     help="debug: tiny model dims (CPU-runnable script check)")
     args = ap.parse_args()
@@ -200,6 +207,8 @@ def main():
             cfg.meta.inner_lr = args.inner_lr
         if args.inner_clip is not None and algo != "multi":
             cfg.meta.inner_clip = args.inner_clip
+        if args.adapt_filter is not None and algo != "multi":
+            cfg.meta.adapt_filter = args.adapt_filter
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
         if args.tiny:
@@ -225,6 +234,8 @@ def main():
             tag += f"@ilr{args.inner_lr:g}"
         if args.inner_clip is not None and algo != "multi":
             tag += f"@iclip{args.inner_clip:g}"
+        if args.adapt_filter is not None and algo != "multi":
+            tag += f"@anil-{args.adapt_filter.replace(',', '+')}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -12,11 +12,12 @@ from tests.test_m2_models import tiny_cfg
 
 
 def _make_trainer(synthetic_data_dir, tmp_path, algo, arch="vgg_blstm",
-                  inner_steps=2):
+                  inner_steps=2, adapt_filter=""):
     tok = CharTokenizer.ascii_default()
     cfg = tiny_cfg(arch, vocab=tok.vocab_size)
     cfg.meta.algo = algo
     cfg.meta.inner_steps = inner_steps
+    cfg.meta.adapt_filter = adapt_filter
     cfg.meta.inner_lr = 1e-2
     cfg.meta.k_support = 2
     cfg.meta.k_query = 2

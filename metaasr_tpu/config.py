@@ -130,6 +130,15 @@ class MetaConfig:
                                    # MetaAlgoConfig.inner_clip — stabilizes
                                    # encoders whose support gradients are
                                    # large at the meta-point (conformer).
+    inner_start_step: int = 0      # inner-loop gating: the inner SGD loop
+                                   # is a no-op (scale 0) until this outer
+                                   # step, then turns on at full inner_lr.
+                                   # FOMAML before the gate reduces exactly
+                                   # to query-batch training — lets an
+                                   # encoder whose inner loop is chaotic at
+                                   # init (conformer; docs/DESIGN.md sec. 8)
+                                   # organize BEFORE adaptation engages.
+                                   # 0 = inner loop always on. fomaml/maml.
     adapt_filter: str = ""         # ANIL partial inner adaptation: comma-
                                    # separated substrings of param paths the
                                    # inner loop may update ("" = all params;

@@ -184,9 +184,9 @@ def _low_precision_wrap(cfg: MetaAlgoConfig, grad_fn):
         return grad_fn
     dtype = jnp.dtype(cfg.grad_dtype)
 
-    def wrapped(params, meta_batch, rng):
+    def wrapped(params, meta_batch, rng, inner_scale=None):
         grads, metrics = grad_fn(_cast_floats(params, dtype),
-                                 meta_batch, rng)
+                                 meta_batch, rng, inner_scale=inner_scale)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(jnp.asarray(p).dtype), grads, params)
         return grads, metrics
@@ -202,7 +202,7 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     Differentiable through the scanned steps unless cfg.first_order.
     """
 
-    def one_step(params, step_rng, batch):
+    def one_step(params, step_rng, batch, inner_scale=None):
         model, lr = split_lr(params)
         mask = adapt_mask(model, cfg.adapt_filter) if cfg.adapt_filter \
             else jax.tree_util.tree_map(lambda _: True, model)
@@ -220,6 +220,15 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
                 jnp.minimum(1.0, cfg.inner_clip / (gn + 1e-12)))
             grads = jax.tree_util.tree_map(
                 lambda g: g * scale.astype(g.dtype), grads)
+        if inner_scale is not None:
+            # inner-loop gating/warmup (meta.inner_start_step): a traced
+            # scalar in [0,1] multiplying every inner update; 0 makes the
+            # inner loop an exact no-op (the FOMAML outer grad then reduces
+            # to the plain query gradient). stop_gradient'd like the clip
+            # scale: the schedule is not a meta-learned quantity.
+            s = jax.lax.stop_gradient(jnp.asarray(inner_scale))
+            grads = jax.tree_util.tree_map(
+                lambda g: g * s.astype(g.dtype), grads)
         if lr is None:
             new_model = jax.tree_util.tree_map(
                 lambda p, g, k: p - cfg.inner_lr * g if k else p,
@@ -238,9 +247,9 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     if cfg.remat_inner and not cfg.first_order:
         one_step = jax.checkpoint(one_step, static_argnums=())
 
-    def inner_adapt(params, support_batch, rng):
+    def inner_adapt(params, support_batch, rng, inner_scale=None):
         def body(p, step_rng):
-            p2, loss = one_step(p, step_rng, support_batch)
+            p2, loss = one_step(p, step_rng, support_batch, inner_scale)
             return p2, loss
 
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
@@ -268,20 +277,22 @@ def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig,
     """
     inner_adapt = make_inner_adapt(loss_fn, cfg, train=True)
 
-    def per_task(params, support, query, rng):
+    def per_task(params, support, query, rng, inner_scale):
         r_in, r_q, r_ps, r_pq = jax.random.split(rng, 4)
         if preprocess_fn is not None:
             support = preprocess_fn(support, r_ps, True)
             query = preprocess_fn(query, r_pq, True)
-        adapted, s_losses = inner_adapt(params, support, r_in)
+        adapted, s_losses = inner_adapt(params, support, r_in, inner_scale)
         q_loss, _ = loss_fn(split_lr(adapted)[0], query, r_q, True)
         return q_loss, s_losses[0]
 
-    def meta_loss(params, meta_batch, rng):
+    def meta_loss(params, meta_batch, rng, inner_scale=None):
         m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
         rngs = jax.random.split(rng, m)
-        q_losses, s_losses = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
-            params, meta_batch["support"], meta_batch["query"], rngs)
+        q_losses, s_losses = jax.vmap(
+            per_task, in_axes=(None, 0, 0, 0, None))(
+            params, meta_batch["support"], meta_batch["query"], rngs,
+            inner_scale)
         # Mean over the task axis: under pjit with tasks sharded over the
         # mesh this lowers to the meta-step's single gradient psum.
         return q_losses.mean(), {"task_query_losses": q_losses,
@@ -321,7 +332,11 @@ def reptile_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
         delta = jax.tree_util.tree_map(lambda p, a: p - a, params, adapted)
         return delta, s_losses[0], s_losses[-1]
 
-    def grad_fn(params, meta_batch, rng):
+    def grad_fn(params, meta_batch, rng, inner_scale=None):
+        # inner_scale is rejected at config level for Reptile (its outer
+        # update IS the inner delta — gating it to 0 would stop training);
+        # the kwarg exists so the trainer's call signature stays uniform.
+        del inner_scale
         m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
         rngs = jax.random.split(rng, m)
         deltas, first, last = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
@@ -347,9 +362,9 @@ def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
     (grads, metrics)`` suitable for an optax outer optimizer."""
     meta_loss = make_meta_loss(loss_fn, cfg, preprocess_fn)
 
-    def grad_fn(params, meta_batch, rng):
+    def grad_fn(params, meta_batch, rng, inner_scale=None):
         (loss, aux), grads = jax.value_and_grad(meta_loss, has_aux=True)(
-            params, meta_batch, rng)
+            params, meta_batch, rng, inner_scale)
         metrics = {
             "meta_loss": loss,
             "query_loss_mean": aux["task_query_losses"].mean(),

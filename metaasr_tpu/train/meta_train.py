@@ -68,6 +68,11 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
             "meta.adapt_filter is incompatible with Reptile: its outer "
             "gradient IS the inner delta, so filtered (frozen) leaves would "
             "never train at all — use fomaml or maml")
+    if cfg.meta.inner_start_step and algo == "reptile":
+        raise ValueError(
+            "meta.inner_start_step is incompatible with Reptile: gating the "
+            "inner loop to 0 zeroes its outer update entirely — use fomaml "
+            "or maml")
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo != "maml"),
@@ -182,7 +187,9 @@ class MetaASRTrainer:
             meta_batch = {"support": gather(sup_idx),
                           "query": gather(qry_idx)}
             rng = jax.random.fold_in(state.rng, state.step)
-            grads, metrics = self._grad_fn(state.params, meta_batch, rng)
+            grads, metrics = self._grad_fn(
+                state.params, meta_batch, rng,
+                inner_scale=self._inner_scale(state.step))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -206,10 +213,22 @@ class MetaASRTrainer:
         # max_frames is a feature-frame cap; convert to raw samples
         return self.cfg.data.max_frames * 160 + 240
 
+    def _inner_scale(self, step):
+        """meta.inner_start_step gate as a traced 0/1 scalar (None when the
+        feature is off, keeping the grad_fn's default fast path). ``step``
+        is the in-state step, so checkpoint resume preserves the schedule
+        position for free."""
+        start = self.cfg.meta.inner_start_step
+        if not start:
+            return None
+        return (step >= start).astype(jax.numpy.float32)
+
     def _build_step(self):
         def step(state: MetaTrainState, meta_batch: dict):
             rng = jax.random.fold_in(state.rng, state.step)
-            grads, metrics = self._grad_fn(state.params, meta_batch, rng)
+            grads, metrics = self._grad_fn(
+                state.params, meta_batch, rng,
+                inner_scale=self._inner_scale(state.step))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)

@@ -172,6 +172,13 @@ def main():
                     help="meta.learn_inner_lr (Meta-SGD/LSLR learned "
                          "per-tensor inner rates); results keyed "
                          "algo@metasgd")
+    ap.add_argument("--inner-start", type=int, default=None,
+                    help="meta.inner_start_step (inner loop gated OFF until "
+                         "this outer step, then full inner_lr); results "
+                         "keyed algo@istartN. Conformer fix candidate: "
+                         "inner_lr=0 trains to 0.22 while any nonzero "
+                         "inner SGD from init collapses (DESIGN.md sec. 8) "
+                         "— organize first, adapt later")
     ap.add_argument("--adapt-filter", default=None,
                     help="meta.adapt_filter (ANIL partial inner adaptation; "
                          "comma-separated param-path substrings, e.g. "
@@ -209,6 +216,8 @@ def main():
             cfg.meta.inner_clip = args.inner_clip
         if args.adapt_filter is not None and algo != "multi":
             cfg.meta.adapt_filter = args.adapt_filter
+        if args.inner_start is not None and algo != "multi":
+            cfg.meta.inner_start_step = args.inner_start
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
         if args.tiny:
@@ -236,6 +245,8 @@ def main():
             tag += f"@iclip{args.inner_clip:g}"
         if args.adapt_filter is not None and algo != "multi":
             tag += f"@anil-{args.adapt_filter.replace(',', '+')}"
+        if args.inner_start is not None and algo != "multi":
+            tag += f"@istart{args.inner_start}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

@@ -12,7 +12,7 @@ from tests.test_m2_models import tiny_cfg
 
 
 def _make_trainer(synthetic_data_dir, tmp_path, algo, arch="vgg_blstm",
-                  inner_steps=2, adapt_filter=""):
+                  inner_steps=2, adapt_filter="", meta_overrides=None):
     tok = CharTokenizer.ascii_default()
     cfg = tiny_cfg(arch, vocab=tok.vocab_size)
     cfg.meta.algo = algo
@@ -30,6 +30,9 @@ def _make_trainer(synthetic_data_dir, tmp_path, algo, arch="vgg_blstm",
     cfg.train.log_every = 2
     cfg.train.eval_every = 10**9
     cfg.train.ckpt_every = 10**9
+    # applied LAST so overrides beat every default above
+    for k, v in (meta_overrides or {}).items():
+        setattr(cfg.meta, k, v)
     tokz = tok
     dsets = load_accent_datasets(synthetic_data_dir, tokz)
     heldout = {"delta": dsets.pop("delta")}

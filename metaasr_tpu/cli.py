@@ -129,7 +129,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("metaasr_tpu")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--mode",
-                   choices=["train", "adapt", "test", "transcribe"],
+                   choices=["train", "adapt", "test", "transcribe", "export"],
                    default="train")
     p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml", "reptile"],
                    default=None)
@@ -147,6 +147,14 @@ def main(argv=None):
     p.add_argument("--dump-nbest", type=int, default=1,
                    help="beam mode: write this many hypotheses (with "
                    "scores) per utterance to the hyps_*.jsonl dumps")
+    p.add_argument("--export-dir", type=str, default=None,
+                   help="export mode: bundle output dir "
+                   "(default <workdir>/export)")
+    p.add_argument("--export-buckets", type=str, default="8x48000",
+                   help="export mode: comma-separated BATCHxWIDTH static "
+                   "serving shapes (width = audio samples)")
+    p.add_argument("--export-platforms", type=str, default="cpu,tpu",
+                   help="export mode: comma-separated jax.export platforms")
     p.add_argument("--mesh-tasks", type=int, default=0,
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
@@ -253,6 +261,35 @@ def main(argv=None):
 
         state = state.replace(params=average_checkpoints(
             trainer.ckpt, template, last_n=args.avg_last))
+    if args.mode == "export":
+        # AOT serving bundle: StableHLO decode program + params + vocab
+        # (metaasr_tpu/serve). Params stay arguments, so adapted weights
+        # hot-swap into the same compiled artifact.
+        if cfg.model.arch != "transformer":
+            raise SystemExit("--mode export supports the transformer "
+                             "joint CTC-attention model")
+        from metaasr_tpu.serve import ExportSpec, export_bundle
+
+        out_dir = args.export_dir or os.path.join(args.workdir, "export")
+        buckets = tuple(
+            tuple(int(v) for v in b.split("x"))
+            for b in args.export_buckets.split(","))
+        lm_params = None
+        if cfg.train.lm_ckpt and cfg.train.lm_weight != 0.0:
+            from metaasr_tpu.train.checkpoint import load_params_npz
+
+            lm_params = load_params_npz(cfg.train.lm_ckpt)
+        manifest = export_bundle(
+            cfg, state.params, tok, out_dir,
+            spec=ExportSpec(buckets=buckets,
+                            platforms=tuple(
+                                args.export_platforms.split(","))),
+            lm_params=lm_params)
+        print(json.dumps({"export_dir": out_dir,
+                          "files": manifest["files"],
+                          "platforms": manifest["platforms"]}, indent=2))
+        return 0
+
     results = {}
     if args.mode == "adapt":
         for name, ds in trainer.heldout_datasets.items():

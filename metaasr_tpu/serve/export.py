@@ -1,0 +1,285 @@
+"""AOT export of the decode path (jax.export / StableHLO serving bundle).
+
+What gets exported: ``fn(params, audio, audio_lens) -> {tokens, lengths,
+scores}`` — the FULL inference pipeline (log-mel fbank + CMVN -> encoder ->
+CTC head -> batched on-device joint CTC/attention beam search, optional
+shallow-fusion LM) as one StableHLO program, one program per static
+(batch, num_samples) bucket (XLA serving wants static shapes; buckets are
+how the training pipeline already pads, SURVEY.md section 2.1 #13).
+
+Design decisions, TPU-first:
+
+- **Params are arguments, not constants.** The meta-learning serving
+  pattern is: run ``meta_adapt`` on a new accent's k-shot support, then
+  decode with the adapted weights. Baking weights into the artifact would
+  force a re-export per accent; passing them keeps ONE compiled program
+  serving every adapted parameter set (and keeps the artifact small).
+- **Multi-platform by default** (``platforms=("cpu", "tpu")``): the
+  artifact is built once anywhere (CI, a CPU host) and served on TPU.
+  The export path therefore forces the portable jax fbank (the Pallas
+  kernel is numerically equivalent — tests/test_pallas_fbank.py — but a
+  Mosaic custom-call would pin the artifact to one platform).
+- The bundle directory is self-contained: serialized program(s) per
+  bucket, ``params.npz``, the tokenizer vocabulary, and a ``meta.json``
+  manifest (shapes, beam config, fbank geometry, format version).
+
+The reference has no counterpart (decode runs in-process only); this is
+rebuild-side scope per the production/serving mandate.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+import os
+from typing import Any, Sequence
+
+import numpy as np
+
+BUNDLE_VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExportSpec:
+    """Static serving shapes + target platforms.
+
+    buckets: (batch, num_samples) pairs in audio mode, (batch, num_frames)
+    in feats mode. An incoming batch is padded to the smallest bucket that
+    fits (same policy as the training loader's frame buckets).
+    """
+
+    buckets: tuple = ((8, 48000),)
+    platforms: tuple = ("cpu", "tpu")
+    from_feats: bool = False
+
+
+def make_decode_fn(task, bs_cfg, lm_model=None, lm_params=None,
+                   from_feats: bool = False):
+    """Pure fn(params, x, x_lens) -> {tokens [B,K,L], lengths, scores}.
+
+    ``task`` must use portable (non-Pallas) frontend ops for
+    multi-platform export; ``export_bundle`` arranges that.
+    """
+    from metaasr_tpu.decode.beam_search import beam_search_transformer
+
+    def fn(params, x, x_lens):
+        if from_feats:
+            feats, feat_lens = x, x_lens
+        else:
+            feats, feat_lens = task.features(x, x_lens)
+        return beam_search_transformer(task.model, params, feats, feat_lens,
+                                       task.sos_eos_id, bs_cfg,
+                                       lm_model=lm_model, lm_params=lm_params)
+
+    return fn
+
+
+def _beam_cfg_from_train(cfg, lm_active: bool):
+    from metaasr_tpu.decode.beam_search import BeamSearchConfig
+
+    t = cfg.train
+    return BeamSearchConfig(
+        beam_size=t.beam_size, max_len=cfg.data.max_tokens,
+        ctc_weight=t.decode_ctc_weight, length_penalty=t.length_penalty,
+        ctc_candidates=t.ctc_candidates, normalize_final=t.normalize_final,
+        coverage_weight=t.coverage_weight, coverage_tau=t.coverage_tau,
+        min_len=t.beam_min_len,
+        lm_weight=t.lm_weight if lm_active else 0.0)
+
+
+def export_bundle(cfg, params, tokenizer, out_dir: str,
+                  spec: ExportSpec | None = None,
+                  lm_params=None) -> dict:
+    """Export the decode program for every bucket and write the bundle.
+
+    cfg: the run's Config (model dims/frontend/beam settings are read from
+    it); params: trained (or adapted) parameter pytree; lm_params: optional
+    shallow-fusion LM pytree (models/lm.py npz layout) — baked into the
+    bundle as a separate npz, passed as part of the exported fn's closure
+    is NOT possible (params must stay arguments), so the LM rides inside
+    the main params argument under the reserved key ``__lm__``.
+    Returns the manifest dict.
+    """
+    import jax
+    from jax import export as jexport
+
+    from metaasr_tpu.train.task import ASRTask
+
+    spec = spec or ExportSpec()
+    # portable ops only: a Mosaic (Pallas) custom call would pin the
+    # artifact to the platform it was lowered for
+    ecfg = copy.deepcopy(cfg)
+    ecfg.frontend.use_pallas = False
+    ecfg.model.ctc_impl = "scan"      # (not on the decode path; belt+braces)
+    task = ASRTask(ecfg, tokenizer.sos_eos_id)
+
+    lm_model = None
+    if lm_params is not None and cfg.train.lm_weight != 0.0:
+        from metaasr_tpu.models.lm import LSTMLM, lm_dims_from_params
+
+        lm_model = LSTMLM(**lm_dims_from_params(lm_params))
+    bs_cfg = _beam_cfg_from_train(ecfg, lm_active=lm_model is not None)
+
+    if lm_model is not None:
+        # the LM weights must stay hot-swappable arguments too, so they
+        # ride inside the params argument under the reserved key "__lm__"
+        from metaasr_tpu.decode.beam_search import beam_search_transformer
+
+        def fn(all_params, x, x_lens):
+            p = {k: v for k, v in all_params.items() if k != "__lm__"}
+            feats, feat_lens = (x, x_lens) if spec.from_feats \
+                else task.features(x, x_lens)
+            return beam_search_transformer(
+                task.model, p, feats, feat_lens, task.sos_eos_id, bs_cfg,
+                lm_model=lm_model, lm_params=all_params["__lm__"])
+
+        call_params = dict(params)
+        call_params["__lm__"] = lm_params
+    else:
+        fn = make_decode_fn(task, bs_cfg, from_feats=spec.from_feats)
+        call_params = params
+
+    os.makedirs(out_dir, exist_ok=True)
+    feat_dim = ecfg.frontend.num_mel_bins
+    param_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), call_params)
+    files = {}
+    for bsz, width in spec.buckets:
+        if spec.from_feats:
+            x_spec = jax.ShapeDtypeStruct((bsz, width, feat_dim), np.float32)
+        else:
+            x_spec = jax.ShapeDtypeStruct((bsz, width), np.float32)
+        lens_spec = jax.ShapeDtypeStruct((bsz,), np.int32)
+        exported = jexport.export(
+            jax.jit(fn), platforms=list(spec.platforms))(
+                param_spec, x_spec, lens_spec)
+        name = f"decode_b{bsz}_w{width}.jexp"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exported.serialize())
+        files[f"{bsz}x{width}"] = name
+
+    from metaasr_tpu.train.checkpoint import save_params_npz
+
+    save_params_npz(os.path.join(out_dir, "params.npz"), call_params)
+    tokenizer.save(os.path.join(out_dir, "tokenizer.json"))
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "buckets": [list(b) for b in spec.buckets],
+        "platforms": list(spec.platforms),
+        "from_feats": spec.from_feats,
+        "files": files,
+        "vocab_kind": cfg.data.vocab,
+        "vocab_size": tokenizer.vocab_size,
+        "sos_eos_id": tokenizer.sos_eos_id,
+        "sample_rate": cfg.frontend.sample_rate,
+        "num_mel_bins": feat_dim,
+        "has_lm": lm_model is not None,
+        "beam": {"beam_size": bs_cfg.beam_size, "max_len": bs_cfg.max_len,
+                 "ctc_weight": bs_cfg.ctc_weight,
+                 "lm_weight": bs_cfg.lm_weight},
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _load_tokenizer(bundle_dir: str, kind: str):
+    path = os.path.join(bundle_dir, "tokenizer.json")
+    if kind == "bpe":
+        from metaasr_tpu.data.bpe import BPETokenizer
+
+        return BPETokenizer.load(path)
+    from metaasr_tpu.data.tokenizer import CharTokenizer
+
+    return CharTokenizer.load(path)  # _BaseTokenizer.load dispatches on type
+
+
+class ServingDecoder:
+    """Load a bundle and transcribe — no training code on the hot path.
+
+    ``transcribe`` pads each request to the smallest exported bucket,
+    executes the deserialized program (compiled once per bucket on first
+    use), and detokenizes. Pass ``params`` to hot-swap adapted weights
+    into the same compiled program (zero recompiles — the meta-serving
+    pattern).
+    """
+
+    def __init__(self, bundle_dir: str):
+        import jax
+        from jax import export as jexport
+
+        with open(os.path.join(bundle_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["version"] != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {self.meta['version']} != {BUNDLE_VERSION}")
+        self.tokenizer = _load_tokenizer(bundle_dir, self.meta["vocab_kind"])
+        from metaasr_tpu.train.checkpoint import load_params_npz
+
+        self.params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+        self._fns = {}
+        for key, fname in self.meta["files"].items():
+            bsz, width = (int(v) for v in key.split("x"))
+            with open(os.path.join(bundle_dir, fname), "rb") as f:
+                exported = jexport.deserialize(bytearray(f.read()))
+            self._fns[(bsz, width)] = jax.jit(exported.call)
+        self.from_feats = self.meta["from_feats"]
+
+    @property
+    def buckets(self):
+        return sorted(self._fns)
+
+    def _pick_bucket(self, n: int, width: int):
+        fits = [b for b in self.buckets if b[0] >= n and b[1] >= width]
+        if not fits:
+            raise ValueError(
+                f"request ({n} utts, width {width}) exceeds every exported "
+                f"bucket {self.buckets}")
+        return min(fits, key=lambda b: (b[0] * b[1], b))
+
+    def transcribe(self, xs: Sequence[np.ndarray], params: Any = None,
+                   nbest: int = 1) -> list[dict]:
+        """xs: list of 1-D float32 waveforms (audio mode) or [T, D] feature
+        matrices (feats mode). Returns one dict per input:
+        {"text", "score"} (+ "nbest" when nbest > 1)."""
+        n = len(xs)
+        widths = [int(np.shape(x)[0]) for x in xs]
+        bsz, width = self._pick_bucket(n, max(widths))
+        if self.from_feats:
+            d = self.meta["num_mel_bins"]
+            x = np.zeros((bsz, width, d), np.float32)
+            for i, item in enumerate(xs):
+                x[i, : widths[i]] = np.asarray(item, np.float32)
+        else:
+            x = np.zeros((bsz, width), np.float32)
+            for i, item in enumerate(xs):
+                x[i, : widths[i]] = np.asarray(item, np.float32)
+        lens = np.asarray(widths + [widths[-1]] * (bsz - n), np.int32)
+        if bsz > n:
+            # pad rows replicate the last real utterance (never a zero-len
+            # row: the fbank framing needs >= 1 full window); outputs of
+            # pad rows are dropped below
+            for j in range(n, bsz):
+                x[j] = x[n - 1]
+        if params is None:
+            params = self.params
+        elif self.meta["has_lm"] and "__lm__" not in params:
+            # hot-swapped acoustic params keep the bundle's LM
+            params = dict(params)
+            params["__lm__"] = self.params["__lm__"]
+        out = self._fns[(bsz, width)](params, x, lens)
+        toks = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        scores = np.asarray(out["scores"])
+        results = []
+        k = min(max(1, nbest), toks.shape[1])
+        for i in range(n):
+            r = {"text": self.tokenizer.decode(toks[i, 0, : lengths[i, 0]]),
+                 "score": float(scores[i, 0])}
+            if k > 1:
+                r["nbest"] = [
+                    {"hyp": self.tokenizer.decode(toks[i, j, : lengths[i, j]]),
+                     "score": float(scores[i, j])} for j in range(k)]
+            results.append(r)
+        return results

@@ -1,0 +1,160 @@
+"""AOT serving bundle (metaasr_tpu/serve): jax.export round trip.
+
+Covers: serialize -> deserialize -> execute parity against the in-process
+jitted decode path (token-identical, scores close), multi-platform
+lowering (cpu+tpu from a CPU host), adapted-params hot-swap through the
+same compiled artifact (the meta-serving pattern), and the shallow-fusion
+LM riding inside the bundle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metaasr_tpu.data.tokenizer import CharTokenizer
+from metaasr_tpu.serve import ExportSpec, ServingDecoder, export_bundle, make_decode_fn
+from metaasr_tpu.train.task import ASRTask
+from tests.test_m2_models import tiny_cfg
+
+
+def _setup(vocab_tok=None, lm=False):
+    tok = vocab_tok or CharTokenizer.ascii_default()
+    cfg = tiny_cfg("transformer", vocab=tok.vocab_size)
+    cfg.data.max_tokens = 10
+    cfg.train.beam_size = 3
+    task = ASRTask(cfg, tok.sos_eos_id)
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(0.1 * rng.standard_normal((2, 8000)), jnp.float32),
+        "audio_lens": jnp.asarray([8000, 5000], np.int32),
+        "tokens": jnp.asarray(rng.integers(1, tok.vocab_size - 1, (2, 8)),
+                              jnp.int32),
+        "token_lens": jnp.asarray([8, 5], np.int32),
+    }
+    params = task.init_params(jax.random.PRNGKey(0), batch)
+    lm_params = None
+    if lm:
+        from metaasr_tpu.models.lm import LSTMLM
+
+        lm_model = LSTMLM(vocab_size=tok.vocab_size, embed_dim=8, hidden=12,
+                          layers=1)
+        lm_params = lm_model.init(jax.random.PRNGKey(1),
+                                  jnp.zeros((1, 2), jnp.int32))["params"]
+        cfg.train.lm_weight = 0.3
+        cfg.train.lm_ckpt = "(in-memory)"
+    return cfg, task, tok, params, lm_params, rng
+
+
+def _waves(rng, lens=(8000, 5000)):
+    return [np.asarray(0.1 * rng.standard_normal(n), np.float32)
+            for n in lens]
+
+
+def _direct(cfg, task, params, waves, bucket, lm_params=None):
+    """Reference output: the in-process jitted decode fn on the same padded
+    bucket ServingDecoder.transcribe builds."""
+    from metaasr_tpu.serve.export import _beam_cfg_from_train
+
+    bsz, width = bucket
+    x = np.zeros((bsz, width), np.float32)
+    lens = []
+    for i, w in enumerate(waves):
+        x[i, : len(w)] = w
+        lens.append(len(w))
+    lens = lens + [lens[-1]] * (bsz - len(waves))
+    for j in range(len(waves), bsz):
+        x[j] = x[len(waves) - 1]
+    lm_model = None
+    if lm_params is not None:
+        from metaasr_tpu.models.lm import LSTMLM, lm_dims_from_params
+
+        lm_model = LSTMLM(**lm_dims_from_params(lm_params))
+    bs_cfg = _beam_cfg_from_train(cfg, lm_active=lm_model is not None)
+    fn = make_decode_fn(task, bs_cfg, lm_model=lm_model, lm_params=lm_params)
+    return jax.jit(fn)(params, jnp.asarray(x), jnp.asarray(lens, jnp.int32))
+
+
+def test_export_bundle_roundtrip_parity(tmp_path):
+    cfg, task, tok, params, _, rng = _setup()
+    bucket = (3, 8000)
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",)))
+    dec = ServingDecoder(str(tmp_path))
+    waves = _waves(rng)
+    got = dec.transcribe(waves, nbest=2)
+
+    ref = _direct(cfg, task, params, waves, bucket)
+    toks = np.asarray(ref["tokens"])
+    lengths = np.asarray(ref["lengths"])
+    scores = np.asarray(ref["scores"])
+    for i in range(2):
+        assert got[i]["text"] == tok.decode(toks[i, 0, : lengths[i, 0]])
+        np.testing.assert_allclose(got[i]["score"], scores[i, 0], rtol=1e-5)
+        assert len(got[i]["nbest"]) == 2
+        assert got[i]["nbest"][0]["hyp"] == got[i]["text"]
+
+
+def test_export_multiplatform_and_bucket_choice(tmp_path):
+    """cpu+tpu lowering succeeds from a CPU host; transcribe picks the
+    smallest bucket that fits and errors past the largest."""
+    cfg, task, tok, params, _, rng = _setup()
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=((2, 6000), (3, 8000)),
+                                  platforms=("cpu", "tpu")))
+    dec = ServingDecoder(str(tmp_path))
+    assert dec.meta["platforms"] == ["cpu", "tpu"]
+    assert dec._pick_bucket(1, 5000) == (2, 6000)
+    assert dec._pick_bucket(3, 5000) == (3, 8000)
+    with pytest.raises(ValueError):
+        dec._pick_bucket(4, 5000)
+    with pytest.raises(ValueError):
+        dec._pick_bucket(1, 9000)
+    out = dec.transcribe(_waves(rng, (5000,)))
+    assert len(out) == 1 and isinstance(out[0]["text"], str)
+
+
+def test_export_hot_swap_adapted_params(tmp_path):
+    """Adapted weights flow through the SAME deserialized program (no
+    re-export) and reproduce the direct decode with those weights."""
+    cfg, task, tok, params, _, rng = _setup()
+    bucket = (2, 8000)
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",)))
+    dec = ServingDecoder(str(tmp_path))
+
+    adapted = jax.tree.map(lambda a: a + 0.01, params)
+    waves = _waves(rng)
+    got = dec.transcribe(waves, params=adapted)
+    ref = _direct(cfg, task, adapted, waves, bucket)
+    toks, lengths = np.asarray(ref["tokens"]), np.asarray(ref["lengths"])
+    for i in range(2):
+        assert got[i]["text"] == tok.decode(toks[i, 0, : lengths[i, 0]])
+    # and differs from the bundle's baked params on at least the score
+    base = dec.transcribe(waves)
+    assert any(abs(base[i]["score"] - got[i]["score"]) > 1e-9
+               for i in range(2))
+
+
+def test_export_with_fusion_lm(tmp_path):
+    """Bundle with a shallow-fusion LM: parity vs the direct fused beam;
+    acoustic hot-swap keeps the bundle's LM weights."""
+    cfg, task, tok, params, lm_params, rng = _setup(lm=True)
+    bucket = (2, 8000)
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",)),
+                  lm_params=lm_params)
+    dec = ServingDecoder(str(tmp_path))
+    assert dec.meta["has_lm"] and dec.meta["beam"]["lm_weight"] == 0.3
+    waves = _waves(rng)
+    got = dec.transcribe(waves)
+    ref = _direct(cfg, task, params, waves, bucket, lm_params=lm_params)
+    toks, lengths = np.asarray(ref["tokens"]), np.asarray(ref["lengths"])
+    scores = np.asarray(ref["scores"])
+    for i in range(2):
+        assert got[i]["text"] == tok.decode(toks[i, 0, : lengths[i, 0]])
+        np.testing.assert_allclose(got[i]["score"], scores[i, 0], rtol=1e-5)
+    # hot-swap only the acoustic tree; __lm__ is re-attached internally
+    swapped = dec.transcribe(waves, params=jax.tree.map(
+        lambda a: a + 0.01, params))
+    assert isinstance(swapped[0]["text"], str)

@@ -155,6 +155,10 @@ def main(argv=None):
                    "serving shapes (width = audio samples)")
     p.add_argument("--export-platforms", type=str, default="cpu,tpu",
                    help="export mode: comma-separated jax.export platforms")
+    p.add_argument("--export-decode", choices=["auto", "beam", "greedy"],
+                   default="auto",
+                   help="export mode: decode algorithm in the bundle "
+                   "(auto = beam for the transformer, greedy otherwise)")
     p.add_argument("--mesh-tasks", type=int, default=0,
                    help="shard meta tasks over a ('task','data') device mesh")
     p.add_argument("-o", "--override", action="append", default=[],
@@ -265,11 +269,12 @@ def main(argv=None):
         # AOT serving bundle: StableHLO decode program + params + vocab
         # (metaasr_tpu/serve). Params stay arguments, so adapted weights
         # hot-swap into the same compiled artifact.
-        if cfg.model.arch != "transformer":
-            raise SystemExit("--mode export supports the transformer "
-                             "joint CTC-attention model")
         from metaasr_tpu.serve import ExportSpec, export_bundle
 
+        decode_mode = args.export_decode
+        if decode_mode == "auto":
+            decode_mode = ("beam" if cfg.model.arch == "transformer"
+                           else "greedy")
         out_dir = args.export_dir or os.path.join(args.workdir, "export")
         buckets = tuple(
             tuple(int(v) for v in b.split("x"))
@@ -283,10 +288,12 @@ def main(argv=None):
             cfg, state.params, tok, out_dir,
             spec=ExportSpec(buckets=buckets,
                             platforms=tuple(
-                                args.export_platforms.split(","))),
+                                args.export_platforms.split(",")),
+                            mode=decode_mode),
             lm_params=lm_params)
         print(json.dumps({"export_dir": out_dir,
                           "files": manifest["files"],
+                          "mode": manifest["mode"],
                           "platforms": manifest["platforms"]}, indent=2))
         return 0
 

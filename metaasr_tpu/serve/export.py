@@ -52,14 +52,19 @@ class ExportSpec:
     buckets: tuple = ((8, 48000),)
     platforms: tuple = ("cpu", "tpu")
     from_feats: bool = False
+    # "beam" (joint CTC/attention search — transformer only) or "greedy"
+    # (argmax CTC collapse — any arch incl. the VGG-BLSTM phone baseline)
+    mode: str = "beam"
 
 
 def make_decode_fn(task, bs_cfg, lm_model=None, lm_params=None,
-                   from_feats: bool = False):
+                   from_feats: bool = False, mode: str = "beam"):
     """Pure fn(params, x, x_lens) -> {tokens [B,K,L], lengths, scores}.
 
     ``task`` must use portable (non-Pallas) frontend ops for
-    multi-platform export; ``export_bundle`` arranges that.
+    multi-platform export; ``export_bundle`` arranges that. Greedy mode
+    normalizes to the same output contract with K=1 and zero scores (the
+    greedy path carries no hypothesis score).
     """
     from metaasr_tpu.decode.beam_search import beam_search_transformer
 
@@ -68,6 +73,14 @@ def make_decode_fn(task, bs_cfg, lm_model=None, lm_params=None,
             feats, feat_lens = x, x_lens
         else:
             feats, feat_lens = task.features(x, x_lens)
+        if mode == "greedy":
+            import jax.numpy as jnp
+
+            packed, out_lens = task._greedy_from_feats(params, feats,
+                                                       feat_lens)
+            return {"tokens": packed[:, None, :],
+                    "lengths": out_lens[:, None],
+                    "scores": jnp.zeros_like(out_lens, jnp.float32)[:, None]}
         return beam_search_transformer(task.model, params, feats, feat_lens,
                                        task.sos_eos_id, bs_cfg,
                                        lm_model=lm_model, lm_params=lm_params)
@@ -114,6 +127,12 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
     ecfg.model.ctc_impl = "scan"      # (not on the decode path; belt+braces)
     task = ASRTask(ecfg, tokenizer.sos_eos_id)
 
+    if spec.mode == "greedy" and lm_params is not None:
+        raise ValueError("shallow fusion needs the beam search; "
+                         "greedy export does not take an LM")
+    if spec.mode == "beam" and cfg.model.arch != "transformer":
+        raise ValueError(f"beam export needs the transformer joint model; "
+                         f"use mode='greedy' for arch={cfg.model.arch}")
     lm_model = None
     if lm_params is not None and cfg.train.lm_weight != 0.0:
         from metaasr_tpu.models.lm import LSTMLM, lm_dims_from_params
@@ -137,7 +156,8 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
         call_params = dict(params)
         call_params["__lm__"] = lm_params
     else:
-        fn = make_decode_fn(task, bs_cfg, from_feats=spec.from_feats)
+        fn = make_decode_fn(task, bs_cfg, from_feats=spec.from_feats,
+                            mode=spec.mode)
         call_params = params
 
     os.makedirs(out_dir, exist_ok=True)
@@ -168,6 +188,7 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
         "buckets": [list(b) for b in spec.buckets],
         "platforms": list(spec.platforms),
         "from_feats": spec.from_feats,
+        "mode": spec.mode,
         "files": files,
         "vocab_kind": cfg.data.vocab,
         "vocab_size": tokenizer.vocab_size,

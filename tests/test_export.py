@@ -158,3 +158,39 @@ def test_export_with_fusion_lm(tmp_path):
     swapped = dec.transcribe(waves, params=jax.tree.map(
         lambda a: a + 0.01, params))
     assert isinstance(swapped[0]["text"], str)
+
+
+def test_export_greedy_vgg_blstm(tmp_path):
+    """Greedy-CTC export covers the VGG-BLSTM phone baseline (config 1):
+    bundle output ≡ the in-process task.greedy_ctc texts."""
+    from metaasr_tpu.decode.greedy import greedy_to_texts
+
+    tok = CharTokenizer.ascii_default()
+    cfg = tiny_cfg("vgg_blstm", vocab=tok.vocab_size)
+    task = ASRTask(cfg, tok.sos_eos_id)
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(0.1 * rng.standard_normal((2, 8000)), jnp.float32),
+        "audio_lens": jnp.asarray([8000, 5000], np.int32),
+        "tokens": jnp.asarray(rng.integers(1, tok.vocab_size - 1, (2, 8)),
+                              jnp.int32),
+        "token_lens": jnp.asarray([8, 5], np.int32),
+    }
+    params = task.init_params(jax.random.PRNGKey(0), batch)
+    with pytest.raises(ValueError):  # beam needs the joint transformer
+        export_bundle(cfg, params, tok, str(tmp_path / "x"),
+                      spec=ExportSpec(buckets=((2, 8000),),
+                                      platforms=("cpu",), mode="beam"))
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=((2, 8000),), platforms=("cpu",),
+                                  mode="greedy"))
+    dec = ServingDecoder(str(tmp_path))
+    assert dec.meta["mode"] == "greedy"
+    waves = [np.asarray(batch["audio"][i, : int(batch["audio_lens"][i])])
+             for i in range(2)]
+    got = dec.transcribe(waves)
+
+    packed, out_lens = task.greedy_ctc(params, batch["audio"],
+                                       batch["audio_lens"])
+    want = greedy_to_texts(packed, out_lens, tok)
+    assert [g["text"] for g in got] == want

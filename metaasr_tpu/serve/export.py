@@ -264,32 +264,51 @@ class ServingDecoder:
         """xs: list of 1-D float32 waveforms (audio mode) or [T, D] feature
         matrices (feats mode). Returns one dict per input:
         {"text", "score"} (+ "nbest" when nbest > 1)."""
+        out, n = self._dispatch(xs, params)
+        return self._read(out, n, nbest)
+
+    def transcribe_stream(self, requests, params: Any = None,
+                          nbest: int = 1):
+        """Pipelined serving: ``requests`` is an iterable of wave lists
+        (one batch each). Every batch is DISPATCHED before any result is
+        read, overlapping batch i+1's device compute with batch i's host
+        readback — the same pipelined-dispatch pattern that measured
+        1.7–2.4x on the training repo's decode path (docs/PROFILE.md).
+        Yields one result list per request batch, in order."""
+        pending = []
+        for xs in requests:
+            # _dispatch pads and enqueues without synchronizing
+            pending.append(self._dispatch(xs, params))
+        for out, n in pending:
+            yield self._read(out, n, nbest)
+
+    def _dispatch(self, xs, params):
+        """Pad one request to its bucket and enqueue the program (no
+        device sync). Returns (async outputs, n real rows)."""
         n = len(xs)
         widths = [int(np.shape(x)[0]) for x in xs]
         bsz, width = self._pick_bucket(n, max(widths))
         if self.from_feats:
             d = self.meta["num_mel_bins"]
             x = np.zeros((bsz, width, d), np.float32)
-            for i, item in enumerate(xs):
-                x[i, : widths[i]] = np.asarray(item, np.float32)
         else:
             x = np.zeros((bsz, width), np.float32)
-            for i, item in enumerate(xs):
-                x[i, : widths[i]] = np.asarray(item, np.float32)
+        for i, item in enumerate(xs):
+            x[i, : widths[i]] = np.asarray(item, np.float32)
         lens = np.asarray(widths + [widths[-1]] * (bsz - n), np.int32)
-        if bsz > n:
-            # pad rows replicate the last real utterance (never a zero-len
-            # row: the fbank framing needs >= 1 full window); outputs of
-            # pad rows are dropped below
-            for j in range(n, bsz):
-                x[j] = x[n - 1]
+        # pad rows replicate the last real utterance (never a zero-len
+        # row: fbank framing needs >= 1 full window); their outputs are
+        # dropped by _read
+        for j in range(n, bsz):
+            x[j] = x[n - 1]
         if params is None:
             params = self.params
         elif self.meta["has_lm"] and "__lm__" not in params:
-            # hot-swapped acoustic params keep the bundle's LM
             params = dict(params)
             params["__lm__"] = self.params["__lm__"]
-        out = self._fns[(bsz, width)](params, x, lens)
+        return self._fns[(bsz, width)](params, x, lens), n
+
+    def _read(self, out, n: int, nbest: int):
         toks = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         scores = np.asarray(out["scores"])

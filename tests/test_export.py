@@ -160,6 +160,19 @@ def test_export_with_fusion_lm(tmp_path):
     assert isinstance(swapped[0]["text"], str)
 
 
+def test_transcribe_stream_matches_sync(tmp_path):
+    """Pipelined serving (every batch dispatched before any read) yields
+    exactly the per-batch sync results, in order."""
+    cfg, task, tok, params, _, rng = _setup()
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=((2, 8000),), platforms=("cpu",)))
+    dec = ServingDecoder(str(tmp_path))
+    batches = [_waves(rng), _waves(rng, (7000, 4000)), _waves(rng, (3000,))]
+    streamed = list(dec.transcribe_stream(iter(batches)))
+    sync = [dec.transcribe(b) for b in batches]
+    assert streamed == sync
+
+
 def test_export_greedy_vgg_blstm(tmp_path):
     """Greedy-CTC export covers the VGG-BLSTM phone baseline (config 1):
     bundle output ≡ the in-process task.greedy_ctc texts."""

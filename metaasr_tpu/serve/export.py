@@ -267,6 +267,20 @@ class ServingDecoder:
         out, n = self._dispatch(xs, params)
         return self._read(out, n, nbest)
 
+    def transcribe_files(self, paths: Sequence[str], params: Any = None,
+                         nbest: int = 1) -> list[dict]:
+        """WAV front door: decode + resample via the first-party native
+        loader (native/wavio.cpp through data/audio_io.py), then
+        transcribe. Audio-mode bundles only."""
+        if self.from_feats:
+            raise ValueError("transcribe_files needs an audio-mode bundle "
+                             "(this one was exported from_feats=True)")
+        from metaasr_tpu.data.audio_io import load_wav
+
+        rate = self.meta["sample_rate"]
+        return self.transcribe([load_wav(p, target_rate=rate)
+                                for p in paths], params=params, nbest=nbest)
+
     def transcribe_stream(self, requests, params: Any = None,
                           nbest: int = 1):
         """Pipelined serving: ``requests`` is an iterable of wave lists

@@ -173,6 +173,31 @@ def test_transcribe_stream_matches_sync(tmp_path):
     assert streamed == sync
 
 
+def test_transcribe_files_wav_front_door(tmp_path):
+    """WAV files through the native loader reproduce the in-memory
+    transcribe of the same samples."""
+    from metaasr_tpu.data.audio_io import write_wav
+
+    cfg, task, tok, params, _, rng = _setup()
+    export_bundle(cfg, params, tok, str(tmp_path / "bundle"),
+                  spec=ExportSpec(buckets=((2, 8000),), platforms=("cpu",)))
+    dec = ServingDecoder(str(tmp_path / "bundle"))
+    waves = _waves(rng)
+    paths = []
+    for i, w in enumerate(waves):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, w, rate=16000)
+        paths.append(p)
+    got = dec.transcribe_files(paths)
+    # PCM16 quantization perturbs samples by <=1/32768 — texts must agree
+    # (scores can move at fp noise); compare against transcribe of the
+    # QUANTIZED waves for exactness
+    quant = [np.round(np.clip(w, -1, 1) * 32767).astype(np.int16)
+             .astype(np.float32) / 32767.0 for w in waves]
+    want = dec.transcribe(quant)
+    assert [g["text"] for g in got] == [w["text"] for w in want]
+
+
 def test_export_greedy_vgg_blstm(tmp_path):
     """Greedy-CTC export covers the VGG-BLSTM phone baseline (config 1):
     bundle output ≡ the in-process task.greedy_ctc texts."""

@@ -148,6 +148,20 @@ class MetaConfig:
                                    # MetaAlgoConfig.adapt_filter — required
                                    # for stable conformer meta-training
                                    # (docs/DESIGN.md section 8).
+    adapt_widen_step: int = 0      # staged ANIL: leaves OUTSIDE
+                                   # adapt_filter join the inner loop at
+                                   # this outer step (traced 0/1 gate like
+                                   # inner_start_step; one compiled step).
+                                   # Composes the two working conformer
+                                   # fixes: decoder-only inner adaptation
+                                   # while the body organizes, full-body
+                                   # adaptation once converged (DESIGN
+                                   # section 8: a converged body tolerates
+                                   # the inner SGD that destroys an
+                                   # organizing one). Requires
+                                   # adapt_filter; 0 = off. Eval/meta-test
+                                   # adaptation uses the END-state inner
+                                   # loop (all leaves). fomaml/maml only.
 
 
 @dataclass

@@ -184,9 +184,11 @@ def _low_precision_wrap(cfg: MetaAlgoConfig, grad_fn):
         return grad_fn
     dtype = jnp.dtype(cfg.grad_dtype)
 
-    def wrapped(params, meta_batch, rng, inner_scale=None):
+    def wrapped(params, meta_batch, rng, inner_scale=None,
+                widen_scale=None):
         grads, metrics = grad_fn(_cast_floats(params, dtype),
-                                 meta_batch, rng, inner_scale=inner_scale)
+                                 meta_batch, rng, inner_scale=inner_scale,
+                                 widen_scale=widen_scale)
         grads = jax.tree_util.tree_map(
             lambda g, p: g.astype(jnp.asarray(p).dtype), grads, params)
         return grads, metrics
@@ -202,10 +204,27 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     Differentiable through the scanned steps unless cfg.first_order.
     """
 
-    def one_step(params, step_rng, batch, inner_scale=None):
+    def one_step(params, step_rng, batch, inner_scale=None,
+                 widen_scale=None):
         model, lr = split_lr(params)
         mask = adapt_mask(model, cfg.adapt_filter) if cfg.adapt_filter \
             else jax.tree_util.tree_map(lambda _: True, model)
+        # Staged ANIL (meta.adapt_widen_step): ``widen_scale`` is a traced
+        # 0/1 scalar multiplying the inner update of the leaves OUTSIDE
+        # cfg.adapt_filter — 0 reproduces plain ANIL exactly, 1 reproduces
+        # the unfiltered inner loop exactly (multiplying a gradient by the
+        # float 1.0 is exact). Motivation (docs/DESIGN.md section 8): the
+        # conformer bisection showed early inner adaptation of the body /
+        # CTC head destroys meta-training (ANIL-decoder is the fix) while
+        # a CONVERGED body tolerates it (inner_start_step=750 also trains)
+        # — so start decoder-only and widen to full-body adaptation once
+        # the representation has organized, in one compiled step.
+        # stop_gradient'd like the other gates: the schedule is not a
+        # meta-learned quantity. Note widening disables the dead-code
+        # elimination of frozen leaves' inner gradients (the gate is
+        # dynamic), so a staged step costs what the unfiltered step costs.
+        w = (None if widen_scale is None
+             else jax.lax.stop_gradient(jnp.asarray(widen_scale)))
         at = jax.lax.stop_gradient(model) if cfg.first_order else model
         (loss, _), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, step_rng, train), has_aux=True)(at)
@@ -231,13 +250,17 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
                 lambda g: g * s.astype(g.dtype), grads)
         if lr is None:
             new_model = jax.tree_util.tree_map(
-                lambda p, g, k: p - cfg.inner_lr * g if k else p,
+                lambda p, g, k: p - cfg.inner_lr * g if k
+                else (p if w is None
+                      else p - cfg.inner_lr * w.astype(g.dtype) * g),
                 model, grads, mask)
             return new_model, loss
         # learned per-leaf rate; the rate itself is NOT detached, so the
         # outer grad reaches it even under first-order (see MetaAlgoConfig)
         new_model = jax.tree_util.tree_map(
-            lambda p, g, a, k: p - a.astype(p.dtype) * g if k else p,
+            lambda p, g, a, k: p - a.astype(p.dtype) * g if k
+            else (p if w is None
+                  else p - a.astype(p.dtype) * w.astype(g.dtype) * g),
             model, grads, lr, mask)
         return {"model": new_model, "inner_lr": lr}, loss
 
@@ -247,9 +270,11 @@ def make_inner_adapt(loss_fn: LossFn, cfg: MetaAlgoConfig,
     if cfg.remat_inner and not cfg.first_order:
         one_step = jax.checkpoint(one_step, static_argnums=())
 
-    def inner_adapt(params, support_batch, rng, inner_scale=None):
+    def inner_adapt(params, support_batch, rng, inner_scale=None,
+                    widen_scale=None):
         def body(p, step_rng):
-            p2, loss = one_step(p, step_rng, support_batch, inner_scale)
+            p2, loss = one_step(p, step_rng, support_batch, inner_scale,
+                                widen_scale)
             return p2, loss
 
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
@@ -277,22 +302,24 @@ def make_meta_loss(loss_fn: LossFn, cfg: MetaAlgoConfig,
     """
     inner_adapt = make_inner_adapt(loss_fn, cfg, train=True)
 
-    def per_task(params, support, query, rng, inner_scale):
+    def per_task(params, support, query, rng, inner_scale, widen_scale):
         r_in, r_q, r_ps, r_pq = jax.random.split(rng, 4)
         if preprocess_fn is not None:
             support = preprocess_fn(support, r_ps, True)
             query = preprocess_fn(query, r_pq, True)
-        adapted, s_losses = inner_adapt(params, support, r_in, inner_scale)
+        adapted, s_losses = inner_adapt(params, support, r_in, inner_scale,
+                                        widen_scale)
         q_loss, _ = loss_fn(split_lr(adapted)[0], query, r_q, True)
         return q_loss, s_losses[0]
 
-    def meta_loss(params, meta_batch, rng, inner_scale=None):
+    def meta_loss(params, meta_batch, rng, inner_scale=None,
+                  widen_scale=None):
         m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
         rngs = jax.random.split(rng, m)
         q_losses, s_losses = jax.vmap(
-            per_task, in_axes=(None, 0, 0, 0, None))(
+            per_task, in_axes=(None, 0, 0, 0, None, None))(
             params, meta_batch["support"], meta_batch["query"], rngs,
-            inner_scale)
+            inner_scale, widen_scale)
         # Mean over the task axis: under pjit with tasks sharded over the
         # mesh this lowers to the meta-step's single gradient psum.
         return q_losses.mean(), {"task_query_losses": q_losses,
@@ -332,11 +359,13 @@ def reptile_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
         delta = jax.tree_util.tree_map(lambda p, a: p - a, params, adapted)
         return delta, s_losses[0], s_losses[-1]
 
-    def grad_fn(params, meta_batch, rng, inner_scale=None):
-        # inner_scale is rejected at config level for Reptile (its outer
-        # update IS the inner delta — gating it to 0 would stop training);
-        # the kwarg exists so the trainer's call signature stays uniform.
-        del inner_scale
+    def grad_fn(params, meta_batch, rng, inner_scale=None,
+                widen_scale=None):
+        # inner_scale/widen_scale are rejected at config level for Reptile
+        # (its outer update IS the inner delta — gating it to 0 would stop
+        # training); the kwargs exist so the trainer's call signature
+        # stays uniform.
+        del inner_scale, widen_scale
         m = jax.tree_util.tree_leaves(meta_batch["support"])[0].shape[0]
         rngs = jax.random.split(rng, m)
         deltas, first, last = jax.vmap(per_task, in_axes=(None, 0, 0, 0))(
@@ -362,9 +391,10 @@ def maml_grads(loss_fn: LossFn, cfg: MetaAlgoConfig,
     (grads, metrics)`` suitable for an optax outer optimizer."""
     meta_loss = make_meta_loss(loss_fn, cfg, preprocess_fn)
 
-    def grad_fn(params, meta_batch, rng, inner_scale=None):
+    def grad_fn(params, meta_batch, rng, inner_scale=None,
+                widen_scale=None):
         (loss, aux), grads = jax.value_and_grad(meta_loss, has_aux=True)(
-            params, meta_batch, rng, inner_scale)
+            params, meta_batch, rng, inner_scale, widen_scale)
         metrics = {
             "meta_loss": loss,
             "query_loss_mean": aux["task_query_losses"].mean(),

@@ -73,6 +73,11 @@ def algo_config(cfg: Config) -> MetaAlgoConfig:
             "meta.inner_start_step is incompatible with Reptile: gating the "
             "inner loop to 0 zeroes its outer update entirely — use fomaml "
             "or maml")
+    if cfg.meta.adapt_widen_step and not _adapt_filter(cfg):
+        raise ValueError(
+            "meta.adapt_widen_step stages the inner loop from adapt_filter "
+            "leaves to all leaves — it requires meta.adapt_filter to be set "
+            "(otherwise every leaf already adapts from step 0)")
     return MetaAlgoConfig(inner_lr=cfg.meta.inner_lr,
                           inner_steps=cfg.meta.inner_steps,
                           first_order=(algo != "maml"),
@@ -189,7 +194,8 @@ class MetaASRTrainer:
             rng = jax.random.fold_in(state.rng, state.step)
             grads, metrics = self._grad_fn(
                 state.params, meta_batch, rng,
-                inner_scale=self._inner_scale(state.step))
+                inner_scale=self._inner_scale(state.step),
+                widen_scale=self._widen_scale(state.step))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -223,12 +229,22 @@ class MetaASRTrainer:
             return None
         return (step >= start).astype(jax.numpy.float32)
 
+    def _widen_scale(self, step):
+        """meta.adapt_widen_step gate (staged ANIL): 0/1 scalar turning on
+        the inner updates of leaves outside adapt_filter (meta/maml.py
+        one_step). Same in-state-step/resume semantics as _inner_scale."""
+        start = self.cfg.meta.adapt_widen_step
+        if not start:
+            return None
+        return (step >= start).astype(jax.numpy.float32)
+
     def _build_step(self):
         def step(state: MetaTrainState, meta_batch: dict):
             rng = jax.random.fold_in(state.rng, state.step)
             grads, metrics = self._grad_fn(
                 state.params, meta_batch, rng,
-                inner_scale=self._inner_scale(state.step))
+                inner_scale=self._inner_scale(state.step),
+                widen_scale=self._widen_scale(state.step))
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -419,7 +435,11 @@ class MetaASRTrainer:
                                first_order=True, remat_inner=False,
                                unroll_inner=m.unroll_inner,
                                inner_clip=m.inner_clip,
-                               adapt_filter=_adapt_filter(self.cfg)),
+                               # staged ANIL trains TOWARD full-body
+                               # adaptation; meta-test adapts the end-state
+                               # inner loop (all leaves)
+                               adapt_filter=(None if m.adapt_widen_step
+                                             else _adapt_filter(self.cfg))),
                 train=True)
 
             def adapt(p, b, r):

@@ -179,6 +179,10 @@ def main():
                          "inner_lr=0 trains to 0.22 while any nonzero "
                          "inner SGD from init collapses (DESIGN.md sec. 8) "
                          "— organize first, adapt later")
+    ap.add_argument("--adapt-widen", type=int, default=None,
+                    help="meta.adapt_widen_step (staged ANIL: leaves outside "
+                         "--adapt-filter join the inner loop at this outer "
+                         "step; requires --adapt-filter)")
     ap.add_argument("--adapt-filter", default=None,
                     help="meta.adapt_filter (ANIL partial inner adaptation; "
                          "comma-separated param-path substrings, e.g. "
@@ -218,6 +222,8 @@ def main():
             cfg.meta.adapt_filter = args.adapt_filter
         if args.inner_start is not None and algo != "multi":
             cfg.meta.inner_start_step = args.inner_start
+        if args.adapt_widen is not None and algo != "multi":
+            cfg.meta.adapt_widen_step = args.adapt_widen
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
         if args.tiny:
@@ -247,6 +253,8 @@ def main():
             tag += f"@anil-{args.adapt_filter.replace(',', '+')}"
         if args.inner_start is not None and algo != "multi":
             tag += f"@istart{args.inner_start}"
+        if args.adapt_widen is not None and algo != "multi":
+            tag += f"@widen{args.adapt_widen}"
         wd = os.path.join(args.workdir,
                           f"{args.profile}_{tag}")
         t0 = time.time()

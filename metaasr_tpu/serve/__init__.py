@@ -9,6 +9,7 @@ meta-learning workflow (adapt per accent, hot-swap the adapted weights
 into one compiled artifact) costs zero recompiles.
 """
 
+from metaasr_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from metaasr_tpu.serve.export import (  # noqa: F401
     ExportSpec,
     ServingDecoder,

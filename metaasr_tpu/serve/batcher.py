@@ -1,0 +1,186 @@
+"""Dynamic request batching for the AOT serving bundle.
+
+Production serving receives SINGLE utterances on independent timelines;
+the exported program wants full, padded buckets (serve/export.py). This
+module is the piece between them: a thread-safe ``submit(waveform) ->
+Future`` front door that groups pending requests into one bucket
+dispatch under a latency budget.
+
+TPU-first design points:
+
+- **Two-stage pipeline, one dispatcher.** All device dispatch happens on
+  ONE thread (JAX dispatch is not free-threaded), and host readback
+  happens on a second: while the reader blocks on batch i's tokens, the
+  dispatcher has already enqueued batch i+1 — the same pipelined-dispatch
+  pattern that measured 1.7-2.4x on the decode path (docs/PROFILE.md),
+  here arising naturally from the thread split instead of an explicit
+  two-pass loop.
+- **Deadline grouping, not fixed ticks.** The dispatcher blocks until one
+  request arrives, then keeps draining the queue until either
+  ``max_batch`` requests are in hand or ``max_wait_ms`` has elapsed since
+  the FIRST one — so an idle service adds at most max_wait_ms latency and
+  a loaded service fills buckets (bigger batches = the MXU regime the
+  profile tables favor).
+- **Bucket selection is the bundle's own** (`ServingDecoder._pick_bucket`
+  via ``_dispatch``): a group is padded to the smallest exported
+  (batch, width) bucket that fits, identical to a hand-built batch call.
+
+The reference serves nothing (decode is an offline loop, SURVEY.md
+section 3.3); this is rebuild-side scope per the production/serving
+mandate, layered on ServingDecoder without touching its hot path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Sequence
+
+import numpy as np
+
+
+class DynamicBatcher:
+    """Group concurrent single-utterance requests into bucket dispatches.
+
+    Args:
+      decoder: a loaded ``ServingDecoder``.
+      max_wait_ms: grouping deadline measured from the first queued
+        request of a batch. 0 dispatches every drain immediately.
+      max_batch: group-size cap; defaults to the largest exported
+        bucket's batch dimension (a bigger group could never fit).
+      params: optional hot-swapped parameter pytree, passed through to
+        every dispatch (the adapted-weights serving pattern).
+      nbest: n-best depth of the returned results.
+
+    ``submit`` returns a ``concurrent.futures.Future`` resolving to the
+    same per-utterance dict ``ServingDecoder.transcribe`` returns. A
+    request wider than every exported bucket fails ONLY its own future.
+    """
+
+    _STOP = object()
+
+    def __init__(self, decoder, max_wait_ms: float = 5.0,
+                 max_batch: int | None = None, params: Any = None,
+                 nbest: int = 1):
+        self.decoder = decoder
+        self.max_wait = max_wait_ms / 1e3
+        self.max_batch = max_batch or max(b for b, _ in decoder.buckets)
+        self.params = params
+        self.nbest = nbest
+        self._max_width = max(w for _, w in decoder.buckets)
+        self._in: queue.Queue = queue.Queue()
+        self._pending: queue.Queue = queue.Queue()
+        self.stats = {"batches": 0, "requests": 0}
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            name="batcher-dispatch",
+                                            daemon=True)
+        self._reader = threading.Thread(target=self._read_loop,
+                                        name="batcher-read", daemon=True)
+        self._closed = False
+        self._dispatcher.start()
+        self._reader.start()
+
+    # ---------- front door ----------
+
+    def submit(self, x: np.ndarray) -> Future:
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        x = np.asarray(x, np.float32)
+        if int(np.shape(x)[0]) > self._max_width:
+            fut.set_exception(ValueError(
+                f"request width {np.shape(x)[0]} exceeds every exported "
+                f"bucket {self.decoder.buckets}"))
+            return fut
+        self._in.put((x, fut))
+        return fut
+
+    def submit_many(self, xs: Sequence[np.ndarray]) -> list[Future]:
+        return [self.submit(x) for x in xs]
+
+    def close(self):
+        """Stop accepting work, flush everything queued, join threads."""
+        if self._closed:
+            return
+        self._closed = True
+        self._in.put(self._STOP)
+        self._dispatcher.join()
+        self._reader.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---------- worker threads ----------
+
+    def _collect(self, first):
+        """Drain the queue into a group: first request + everything that
+        arrives before the deadline, capped at max_batch. Returns (group,
+        saw_stop)."""
+        group = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            try:
+                item = self._in.get(block=timeout > 0,
+                                    timeout=max(timeout, 0))
+            except queue.Empty:
+                return group, False
+            if item is self._STOP:
+                return group, True
+            group.append(item)
+        return group, False
+
+    def _dispatch_loop(self):
+        stop = False
+        while not stop:
+            item = self._in.get()
+            if item is self._STOP:
+                break
+            group, stop = self._collect(item)
+            self._dispatch_group([x for x, _ in group],
+                                 [f for _, f in group])
+        self._pending.put(self._STOP)
+
+    def _dispatch_group(self, xs, futs):
+        try:
+            # enqueues on the device without synchronizing; the reader
+            # thread owns the blocking host read
+            out, n = self.decoder._dispatch(xs, self.params)
+        except ValueError as e:
+            # a group can be jointly unfittable while every member fits
+            # alone (e.g. the wide bucket is batch-1 and three requests
+            # arrived, one of them wide): split and serve singly so only
+            # genuinely unservable requests fail
+            if len(xs) > 1:
+                for x, f in zip(xs, futs):
+                    self._dispatch_group([x], [f])
+                return
+            futs[0].set_exception(e)
+            return
+        except Exception as e:
+            for f in futs:
+                f.set_exception(e)
+            return
+        self.stats["batches"] += 1
+        self.stats["requests"] += len(futs)
+        self._pending.put((out, n, futs))
+
+    def _read_loop(self):
+        while True:
+            item = self._pending.get()
+            if item is self._STOP:
+                return
+            out, n, futs = item
+            try:
+                results = self.decoder._read(out, n, self.nbest)
+            except Exception as e:
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for f, r in zip(futs, results):
+                f.set_result(r)

@@ -1,0 +1,114 @@
+"""DynamicBatcher (serve/batcher.py): concurrent single-utterance
+submissions are grouped into bucket dispatches whose per-utterance
+results are IDENTICAL to a direct ServingDecoder.transcribe call —
+grouping must be invisible to the caller. Also: deadline/max_batch
+grouping behavior, the split-and-retry fallback for jointly-unfittable
+groups, per-request width validation, and close() flush semantics."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from metaasr_tpu.serve import DynamicBatcher, ExportSpec, ServingDecoder, export_bundle
+from tests.test_export import _setup, _waves
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    cfg, task, tok, params, _, rng = _setup()
+    out = str(tmp_path_factory.mktemp("bundle"))
+    export_bundle(cfg, params, tok, out,
+                  ExportSpec(buckets=((3, 8000), (1, 16000)),
+                             platforms=("cpu",)))
+    return ServingDecoder(out), rng
+
+
+@pytest.fixture(scope="module")
+def bundle_one_bucket(tmp_path_factory):
+    """Single-bucket bundle: every dispatch — grouped or single — runs
+    the SAME program, so per-utterance parity is exact by construction."""
+    cfg, task, tok, params, _, rng = _setup()
+    out = str(tmp_path_factory.mktemp("bundle1"))
+    export_bundle(cfg, params, tok, out,
+                  ExportSpec(buckets=((3, 8000),), platforms=("cpu",)))
+    return ServingDecoder(out), rng
+
+
+def test_batcher_matches_direct_transcribe(bundle_one_bucket):
+    """8 concurrent submissions, results bit-equal (tokens) to the same
+    decoder called directly — and actually grouped (fewer batches than
+    requests once warm)."""
+    decoder, rng = bundle_one_bucket
+    waves = _waves(rng, lens=(8000, 5000, 3000, 6000, 8000, 2000, 5000,
+                              7000))
+    # reference at the same (3,8000) bucket the batcher's groups will use
+    # (every wave fits it; batched-beam rows are composition-invariant —
+    # the host-reference beam test pins that per-row independence)
+    want = [r for i in range(0, len(waves), 3)
+            for r in decoder.transcribe(waves[i: i + 3])]
+    with DynamicBatcher(decoder, max_wait_ms=50.0) as b:
+        futs = []
+        threads = [threading.Thread(target=lambda w=w: futs.append(
+            (w.tobytes(), b.submit(w)))) for w in waves]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        by_key = {k: f.result(timeout=120) for k, f in futs}
+    for w, ref in zip(waves, want):
+        got = by_key[w.tobytes()]
+        assert got["text"] == ref["text"]
+        np.testing.assert_allclose(got["score"], ref["score"], rtol=1e-5)
+    assert b.stats["requests"] == len(waves)
+    assert b.stats["batches"] < len(waves)  # grouping actually happened
+
+
+def test_batcher_max_batch_and_immediate_dispatch(bundle):
+    """max_wait=0 dispatches each drain immediately; sequential submits
+    with the result awaited in between force batch-of-1 dispatches."""
+    decoder, rng = bundle
+    waves = _waves(rng, lens=(4000, 4100, 4200))
+    with DynamicBatcher(decoder, max_wait_ms=0.0, max_batch=1) as b:
+        for w in waves:
+            r = b.submit(w).result(timeout=120)
+            assert isinstance(r["text"], str)
+    assert b.stats["batches"] == len(waves)
+
+
+def test_batcher_split_retry_on_jointly_unfittable_group(bundle):
+    """A wide request (only the batch-1 bucket fits it) grouped with
+    narrow ones: the joint dispatch cannot fit any bucket, the batcher
+    splits, and EVERY request still succeeds."""
+    decoder, rng = bundle
+    wide = _waves(rng, lens=(12000,))[0]     # needs (1, 16000)
+    narrow = _waves(rng, lens=(5000, 6000))  # fit (3, 8000)
+    with DynamicBatcher(decoder, max_wait_ms=200.0) as b:
+        futs = b.submit_many([narrow[0], wide, narrow[1]])
+        results = [f.result(timeout=240) for f in futs]
+    for r, w in zip(results, [narrow[0], wide, narrow[1]]):
+        assert r["text"] == decoder.transcribe([w])[0]["text"]
+
+
+def test_batcher_too_wide_fails_only_that_future(bundle):
+    decoder, rng = bundle
+    ok, too_wide = _waves(rng, lens=(5000, 20001))
+    with DynamicBatcher(decoder, max_wait_ms=20.0) as b:
+        f_bad = b.submit(too_wide)
+        f_ok = b.submit(ok)
+        with pytest.raises(ValueError, match="exceeds every exported"):
+            f_bad.result(timeout=120)
+        assert f_ok.result(timeout=120)["text"] == \
+            decoder.transcribe([ok])[0]["text"]
+
+
+def test_batcher_close_flushes_and_rejects_new_work(bundle):
+    decoder, rng = bundle
+    w = _waves(rng, lens=(3000,))[0]
+    b = DynamicBatcher(decoder, max_wait_ms=500.0)
+    fut = b.submit(w)
+    b.close()  # must flush the queued request, not drop it
+    assert fut.result(timeout=120)["text"] == \
+        decoder.transcribe([w])[0]["text"]
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(w)

@@ -155,6 +155,11 @@ def main(argv=None):
                    "serving shapes (width = audio samples)")
     p.add_argument("--export-platforms", type=str, default="cpu,tpu",
                    help="export mode: comma-separated jax.export platforms")
+    p.add_argument("--export-weights-dtype",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="export mode: store/feed bundle weights in this "
+                   "dtype (bfloat16 halves the bundle and the per-step "
+                   "weight HBM reads at serving)")
     p.add_argument("--export-decode", choices=["auto", "beam", "greedy"],
                    default="auto",
                    help="export mode: decode algorithm in the bundle "
@@ -289,7 +294,8 @@ def main(argv=None):
             spec=ExportSpec(buckets=buckets,
                             platforms=tuple(
                                 args.export_platforms.split(",")),
-                            mode=decode_mode),
+                            mode=decode_mode,
+                            weights_dtype=args.export_weights_dtype),
             lm_params=lm_params)
         print(json.dumps({"export_dir": out_dir,
                           "files": manifest["files"],

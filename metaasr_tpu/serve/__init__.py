@@ -13,6 +13,7 @@ from metaasr_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from metaasr_tpu.serve.export import (  # noqa: F401
     ExportSpec,
     ServingDecoder,
+    cast_weights,
     export_bundle,
     make_decode_fn,
 )

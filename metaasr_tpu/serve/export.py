@@ -55,6 +55,78 @@ class ExportSpec:
     # "beam" (joint CTC/attention search — transformer only) or "greedy"
     # (argmax CTC collapse — any arch incl. the VGG-BLSTM phone baseline)
     mode: str = "beam"
+    # "float32" (default) or "bfloat16": cast float weights to bf16 in the
+    # bundle AND in the exported program's parameter argument. The MXU
+    # consumes bf16 operands natively and the sequential decoder steps are
+    # weight-read-bound at serving batch sizes, so bf16 weights halve the
+    # weight-side HBM traffic per step — and halve params.npz. Weights are
+    # fed to the model directly as bf16 (no upcast materialization; mixed
+    # bf16xf32 dots keep f32 accumulation), so the only numeric change is
+    # one bf16 rounding of the weights. Hot-swapped params must then be
+    # bf16 too (cast_weights below; ServingDecoder.transcribe does it).
+    weights_dtype: str = "float32"
+
+
+def cast_weights(params, dtype: str):
+    """Cast every floating leaf to ``dtype`` (ints/bools untouched).
+
+    Used at export time and by ServingDecoder on hot-swapped parameter
+    trees so adapted weights match a bf16 bundle's argument spec."""
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+
+    def leaf(a):
+        a = np.asarray(a) if not hasattr(a, "dtype") else a
+        return a.astype(target) if jnp.issubdtype(a.dtype, np.floating) \
+            else a
+
+    import jax
+
+    return jax.tree.map(leaf, params)
+
+
+def _save_bundle_params(path: str, params) -> None:
+    """Flat npz like checkpoint.save_params_npz, but bf16-safe: numpy's
+    npz format drops ml_dtypes' bfloat16 to an opaque void dtype, so bf16
+    leaves are stored as uint16 bit patterns plus a ``__bf16_keys__``
+    manifest entry that the bundle loader uses to view them back."""
+    import jax
+    import ml_dtypes
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays, bf16_keys = {}, []
+    for kp, v in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        a = np.asarray(v)
+        if a.dtype == ml_dtypes.bfloat16:
+            bf16_keys.append(key)
+            a = a.view(np.uint16)
+        arrays[key] = a
+    arrays["__bf16_keys__"] = np.asarray(bf16_keys, dtype=np.str_)
+    np.savez(path, **arrays)
+
+
+def _load_bundle_params(path: str):
+    """Inverse of _save_bundle_params (nested-dict pytrees)."""
+    import ml_dtypes
+
+    out: dict = {}
+    with np.load(path) as z:
+        bf16 = set(np.asarray(z["__bf16_keys__"]).tolist()) \
+            if "__bf16_keys__" in z.files else set()
+        for key in z.files:
+            if key == "__bf16_keys__":
+                continue
+            a = np.asarray(z[key])
+            if key in bf16:
+                a = a.view(ml_dtypes.bfloat16)
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = a
+    return out
 
 
 def make_decode_fn(task, bs_cfg, lm_model=None, lm_params=None,
@@ -160,10 +232,17 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
                             mode=spec.mode)
         call_params = params
 
+    if spec.weights_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"weights_dtype must be float32 or bfloat16, "
+                         f"got {spec.weights_dtype!r}")
+    if spec.weights_dtype != "float32":
+        call_params = cast_weights(call_params, spec.weights_dtype)
+
     os.makedirs(out_dir, exist_ok=True)
     feat_dim = ecfg.frontend.num_mel_bins
     param_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), call_params)
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        call_params)
     files = {}
     for bsz, width in spec.buckets:
         if spec.from_feats:
@@ -179,9 +258,7 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
             f.write(exported.serialize())
         files[f"{bsz}x{width}"] = name
 
-    from metaasr_tpu.train.checkpoint import save_params_npz
-
-    save_params_npz(os.path.join(out_dir, "params.npz"), call_params)
+    _save_bundle_params(os.path.join(out_dir, "params.npz"), call_params)
     tokenizer.save(os.path.join(out_dir, "tokenizer.json"))
     manifest = {
         "version": BUNDLE_VERSION,
@@ -189,6 +266,7 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
         "platforms": list(spec.platforms),
         "from_feats": spec.from_feats,
         "mode": spec.mode,
+        "weights_dtype": spec.weights_dtype,
         "files": files,
         "vocab_kind": cfg.data.vocab,
         "vocab_size": tokenizer.vocab_size,
@@ -236,9 +314,9 @@ class ServingDecoder:
             raise ValueError(
                 f"bundle version {self.meta['version']} != {BUNDLE_VERSION}")
         self.tokenizer = _load_tokenizer(bundle_dir, self.meta["vocab_kind"])
-        from metaasr_tpu.train.checkpoint import load_params_npz
-
-        self.params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
+        self.params = _load_bundle_params(
+            os.path.join(bundle_dir, "params.npz"))
+        self.weights_dtype = self.meta.get("weights_dtype", "float32")
         self._fns = {}
         for key, fname in self.meta["files"].items():
             bsz, width = (int(v) for v in key.split("x"))
@@ -317,9 +395,14 @@ class ServingDecoder:
             x[j] = x[n - 1]
         if params is None:
             params = self.params
-        elif self.meta["has_lm"] and "__lm__" not in params:
-            params = dict(params)
-            params["__lm__"] = self.params["__lm__"]
+        else:
+            if self.meta["has_lm"] and "__lm__" not in params:
+                params = dict(params)
+                params["__lm__"] = self.params["__lm__"]
+            if self.weights_dtype != "float32":
+                # hot-swapped (meta_adapt-ed) trees arrive fp32; the
+                # program's argument spec is bf16 — cast to match
+                params = cast_weights(params, self.weights_dtype)
         return self._fns[(bsz, width)](params, x, lens), n
 
     def _read(self, out, n: int, nbest: int):

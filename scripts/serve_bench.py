@@ -106,12 +106,37 @@ def main():
 
         t_sync = median3(sync)
         t_pipe = median3(pipelined)
+
+        # bf16-weights bundle: same program shapes, weights stored AND fed
+        # as bf16 (ExportSpec.weights_dtype) — halves the per-step weight
+        # HBM reads on the weight-bound sequential decode
+        with tempfile.TemporaryDirectory() as d16:
+            export_bundle(cfg, params, tok, d16,
+                          spec=ExportSpec(buckets=((BSZ, T_FEAT),),
+                                          platforms=("cpu", "tpu"),
+                                          from_feats=True,
+                                          weights_dtype="bfloat16"))
+            dec16 = ServingDecoder(d16)
+            dec16.transcribe(feats_batches[0])
+
+            def pipelined16():
+                for _ in dec16.transcribe_stream(iter(feats_batches)):
+                    pass
+
+            t_pipe16 = median3(pipelined16)
+            npz = os.path.getsize(os.path.join(d, "params.npz"))
+            npz16 = os.path.getsize(os.path.join(d16, "params.npz"))
+
         print(json.dumps({
             "mode": "exported-bundle serving", "batch": BSZ,
             "batches": BATCHES, "beam": 10, "steps": STEPS,
             "sync_utts_per_sec": round(n_utts / t_sync, 1),
             "pipelined_utts_per_sec": round(n_utts / t_pipe, 1),
             "pipelined_speedup": round(t_sync / t_pipe, 2),
+            "bf16_pipelined_utts_per_sec": round(n_utts / t_pipe16, 1),
+            "bf16_vs_fp32_weights": round(t_pipe / t_pipe16, 2),
+            "params_npz_mb": round(npz / 1e6, 1),
+            "bf16_params_npz_mb": round(npz16 / 1e6, 1),
         }))
 
 

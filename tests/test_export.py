@@ -232,3 +232,56 @@ def test_export_greedy_vgg_blstm(tmp_path):
                                        batch["audio_lens"])
     want = greedy_to_texts(packed, out_lens, tok)
     assert [g["text"] for g in got] == want
+
+
+def test_export_bf16_weights_bundle(tmp_path):
+    """weights_dtype=bfloat16: the bundle stores bf16 leaves (half the
+    npz), the exported program's param argument IS bf16 (weight HBM reads
+    halve at serving), outputs are token-identical to running the direct
+    fp32 program on the same bf16-rounded weights, and fp32 hot-swapped
+    trees are cast to match the argument spec."""
+    import ml_dtypes
+
+    from metaasr_tpu.serve import cast_weights
+    from metaasr_tpu.serve.export import _load_bundle_params
+
+    cfg, task, tok, params, _, rng = _setup()
+    bucket = (2, 8000)
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",),
+                                  weights_dtype="bfloat16"))
+    dec = ServingDecoder(str(tmp_path))
+    assert dec.meta["weights_dtype"] == "bfloat16"
+
+    # every float leaf round-trips npz as bf16 (not void/uint16/fp32)
+    stored = _load_bundle_params(str(tmp_path / "params.npz"))
+    leaves = jax.tree.leaves(stored)
+    assert leaves and all(
+        leaf.dtype == ml_dtypes.bfloat16 for leaf in leaves
+        if np.issubdtype(leaf.dtype, np.floating)
+        or leaf.dtype == ml_dtypes.bfloat16)
+    assert any(leaf.dtype == ml_dtypes.bfloat16 for leaf in leaves)
+
+    waves = _waves(rng)
+    got = dec.transcribe(waves)
+    # reference: the in-process fp32 program fed the SAME bf16 weights
+    # (promotion keeps f32 accumulation, so this pins the bundle numerics)
+    bf16_params = cast_weights(params, "bfloat16")
+    ref = _direct(cfg, task, bf16_params, waves, bucket)
+    toks, lengths = np.asarray(ref["tokens"]), np.asarray(ref["lengths"])
+    for i in range(2):
+        assert got[i]["text"] == tok.decode(toks[i, 0, : lengths[i, 0]])
+
+    # fp32 hot-swap: ServingDecoder casts to the bf16 argument spec
+    adapted = jax.tree.map(lambda a: a + 0.01, params)
+    swapped = dec.transcribe(waves, params=adapted)
+    ref2 = _direct(cfg, task, cast_weights(adapted, "bfloat16"), waves,
+                   bucket)
+    toks2, lengths2 = np.asarray(ref2["tokens"]), np.asarray(ref2["lengths"])
+    for i in range(2):
+        assert swapped[i]["text"] == tok.decode(toks2[i, 0, : lengths2[i, 0]])
+
+    with pytest.raises(ValueError):
+        export_bundle(cfg, params, tok, str(tmp_path / "bad"),
+                      spec=ExportSpec(buckets=(bucket,), platforms=("cpu",),
+                                      weights_dtype="float16"))

@@ -37,7 +37,12 @@ from typing import Any, Sequence
 
 import numpy as np
 
-BUNDLE_VERSION = 1
+# v2: params.npz gained the __bf16_keys__ manifest entry (bf16 leaves
+# stored as uint16 bit patterns). The loader reads v1 bundles unchanged,
+# so readers accept both; writers stamp 2 so an OLD ServingDecoder fails
+# the version gate crisply instead of dying on an opaque dtype mismatch.
+BUNDLE_VERSION = 2
+COMPATIBLE_BUNDLE_VERSIONS = (1, 2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -310,9 +315,10 @@ class ServingDecoder:
 
         with open(os.path.join(bundle_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        if self.meta["version"] != BUNDLE_VERSION:
+        if self.meta["version"] not in COMPATIBLE_BUNDLE_VERSIONS:
             raise ValueError(
-                f"bundle version {self.meta['version']} != {BUNDLE_VERSION}")
+                f"bundle version {self.meta['version']} not in "
+                f"{COMPATIBLE_BUNDLE_VERSIONS}")
         self.tokenizer = _load_tokenizer(bundle_dir, self.meta["vocab_kind"])
         self.params = _load_bundle_params(
             os.path.join(bundle_dir, "params.npz"))
@@ -324,6 +330,11 @@ class ServingDecoder:
                 exported = jexport.deserialize(bytearray(f.read()))
             self._fns[(bsz, width)] = jax.jit(exported.call)
         self.from_feats = self.meta["from_feats"]
+        # single-entry identity cache for hot-swapped trees: serving reuses
+        # one adapted tree across many dispatches (transcribe_stream and
+        # DynamicBatcher pass the same object per batch/group), so the
+        # lm-merge + bf16 cast must not be repaid on every _dispatch
+        self._swap_cache = None
 
     @property
     def buckets(self):
@@ -395,7 +406,10 @@ class ServingDecoder:
             x[j] = x[n - 1]
         if params is None:
             params = self.params
+        elif self._swap_cache is not None and self._swap_cache[0] is params:
+            params = self._swap_cache[1]  # same tree as last dispatch
         else:
+            orig = params
             if self.meta["has_lm"] and "__lm__" not in params:
                 params = dict(params)
                 params["__lm__"] = self.params["__lm__"]
@@ -403,6 +417,8 @@ class ServingDecoder:
                 # hot-swapped (meta_adapt-ed) trees arrive fp32; the
                 # program's argument spec is bf16 — cast to match
                 params = cast_weights(params, self.weights_dtype)
+            # strong ref to orig keeps its id() live for the `is` check
+            self._swap_cache = (orig, params)
         return self._fns[(bsz, width)](params, x, lens), n
 
     def _read(self, out, n: int, nbest: int):

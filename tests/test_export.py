@@ -285,3 +285,58 @@ def test_export_bf16_weights_bundle(tmp_path):
         export_bundle(cfg, params, tok, str(tmp_path / "bad"),
                       spec=ExportSpec(buckets=(bucket,), platforms=("cpu",),
                                       weights_dtype="float16"))
+
+
+def test_bundle_version_gate(tmp_path):
+    """ADVICE r3: v2 writers stamp 2; readers accept {1,2} (the loader
+    reads v1 npz layouts unchanged) and reject anything else crisply."""
+    import json
+
+    from metaasr_tpu.serve.export import (
+        BUNDLE_VERSION,
+        COMPATIBLE_BUNDLE_VERSIONS,
+    )
+
+    assert BUNDLE_VERSION == 2 and set(COMPATIBLE_BUNDLE_VERSIONS) == {1, 2}
+    cfg, task, tok, params, _, rng = _setup()
+    manifest = export_bundle(cfg, params, tok, str(tmp_path),
+                             spec=ExportSpec(buckets=((2, 8000),),
+                                             platforms=("cpu",)))
+    assert manifest["version"] == 2
+    meta_path = tmp_path / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["version"] = 1  # old bundle: still loads (npz layout is a superset)
+    meta_path.write_text(json.dumps(meta))
+    dec = ServingDecoder(str(tmp_path))
+    assert dec.transcribe(_waves(rng))[0]["text"] is not None
+    meta["version"] = 99
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="bundle version"):
+        ServingDecoder(str(tmp_path))
+
+
+def test_hot_swap_cast_cached_per_tree(tmp_path, monkeypatch):
+    """ADVICE r3: repeated dispatches with the SAME hot-swapped tree must
+    not repay the full-tree cast — the bf16 cast runs once per tree object,
+    and a different tree invalidates the single-entry cache."""
+    from metaasr_tpu.serve import export as exp
+
+    cfg, task, tok, params, _, rng = _setup()
+    export_bundle(cfg, params, tok, str(tmp_path),
+                  spec=ExportSpec(buckets=((2, 8000),), platforms=("cpu",),
+                                  weights_dtype="bfloat16"))
+    dec = ServingDecoder(str(tmp_path))
+    calls = []
+    real = exp.cast_weights
+    monkeypatch.setattr(exp, "cast_weights",
+                        lambda p, d: (calls.append(1), real(p, d))[1])
+    adapted = jax.tree.map(lambda a: a + 0.01, params)
+    waves = _waves(rng)
+    first = dec.transcribe(waves, params=adapted)
+    assert len(calls) == 1
+    again = dec.transcribe(waves, params=adapted)
+    assert len(calls) == 1, "same tree re-dispatched must hit the cache"
+    assert [r["text"] for r in again] == [r["text"] for r in first]
+    adapted2 = jax.tree.map(lambda a: a + 0.02, params)
+    dec.transcribe(waves, params=adapted2)
+    assert len(calls) == 2, "a new tree must invalidate the cache"

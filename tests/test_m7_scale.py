@@ -117,9 +117,13 @@ def test_select_devices_prefers_backend_that_has_n(monkeypatch):
 @pytest.mark.slow
 def test_dryrun_multichip_without_forced_cpu_platform():
     """Run dryrun_multichip(8) in a subprocess with XLA_FLAGS providing 8
-    virtual CPU devices but WITHOUT JAX_PLATFORMS=cpu, so the conftest's
-    forced-CPU default can't mask a default-backend/mesh-backend mismatch
-    (on a TPU machine this reproduces the driver's invocation verbatim)."""
+    virtual CPU devices but WITHOUT JAX_PLATFORMS=cpu — reproducing the
+    driver's invocation verbatim. Since r4 the dryrun must complete GREEN
+    in every TPU-attachment state (healthy, wedged, libtpu-skewed): an
+    unhealthy default backend routes to the JAX_PLATFORMS=cpu re-exec path
+    whose probe is bounded, so a timeout here is a real failure — the
+    pytest.skip escape that excused exactly the driver's conditions is
+    gone (VERDICT r3 item 2)."""
     import os
     import subprocess
     import sys
@@ -130,22 +134,108 @@ def test_dryrun_multichip_without_forced_cpu_platform():
     code = ("import sys; sys.path.insert(0, {here!r})\n"
             "import __graft_entry__ as g\n"
             "g.dryrun_multichip(8)\n").format(here=here)
-    try:
-        out = subprocess.run([sys.executable, "-c", code], env=env, cwd=here,
-                             capture_output=True, text=True, timeout=900)
-    except subprocess.TimeoutExpired:
-        # without JAX_PLATFORMS the subprocess initializes the machine's
-        # default backend first; on this host that is a network-attached
-        # TPU whose tunnel wedges for tens of minutes after any client
-        # dies mid-op. That infra state is not what this test checks (the
-        # device-selection logic is covered backend-free by
-        # test_select_devices_prefers_backend_that_has_n) — skip, don't
-        # fail, so CI stays green during attachment recovery.
-        pytest.skip("default-backend init unresponsive (TPU attachment "
-                    "recovering) — device-selection logic covered by the "
-                    "unit test")
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=here,
+                         capture_output=True, text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+
+
+class _FakeDev:
+    def __init__(self, platform):
+        self.platform = platform
+
+
+def _route_probe(monkeypatch, *, responsive, default_devices,
+                 impl_behavior="ok"):
+    """Drive dryrun_multichip's routing logic with a faked environment;
+    returns (impl_calls, reexec_calls)."""
+    import __graft_entry__ as g
+
+    impl_calls, reexec_calls = [], []
+    monkeypatch.setattr(g, "_default_backend_responsive",
+                        lambda *a, **k: responsive)
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda backend=None: ([_FakeDev("cpu") for _ in range(8)]
+                              if backend == "cpu" else default_devices))
+
+    def fake_impl(n):
+        impl_calls.append(n)
+        if impl_behavior == "raise":
+            # simulate r3: transfers to the default backend fail even
+            # though device listing succeeded (libtpu version skew)
+            raise RuntimeError("FAILED_PRECONDITION: libtpu version mismatch")
+
+    monkeypatch.setattr(g, "_dryrun_multichip_impl", fake_impl)
+    monkeypatch.setattr(g, "_reexec_cpu_dryrun",
+                        lambda n: reexec_calls.append(n))
+    g.dryrun_multichip(8)
+    return impl_calls, reexec_calls
+
+
+def test_dryrun_never_runs_inprocess_when_default_backend_small(monkeypatch):
+    """THE r3 regression test: default backend = 1 TPU device (listing
+    works, transfers broken — the libtpu-skew flavor), CPU backend = 8
+    virtual devices. The dryrun must NOT attempt anything in-process (where
+    incidental default-backend transfers killed the r3 gate) — it must go
+    straight to the JAX_PLATFORMS=cpu re-exec subprocess."""
+    impl, reexec = _route_probe(monkeypatch, responsive=True,
+                                default_devices=[_FakeDev("tpu")])
+    assert impl == [], "in-process impl must not run on a mixed-backend host"
+    assert reexec == [8]
+
+
+def test_dryrun_routes_to_subprocess_when_default_unresponsive(monkeypatch):
+    """The r1/r2 flavor: default-backend init hangs (probe says dead). The
+    dryrun must re-exec under JAX_PLATFORMS=cpu without ever importing the
+    default backend in-process."""
+    impl, reexec = _route_probe(monkeypatch, responsive=False,
+                                default_devices=[_FakeDev("tpu")])
+    assert impl == []
+    assert reexec == [8]
+
+
+def test_dryrun_inprocess_on_real_pod_with_failure_fallback(monkeypatch):
+    """When the DEFAULT backend itself has n devices (a real pod), the
+    in-process path is allowed — and if it still fails (e.g. transfers
+    break mid-run), the dryrun falls back to the CPU re-exec path instead
+    of propagating."""
+    pod = [_FakeDev("tpu") for _ in range(8)]
+    impl, reexec = _route_probe(monkeypatch, responsive=True,
+                                default_devices=pod)
+    assert impl == [8] and reexec == []  # healthy pod: in-process, done
+    impl, reexec = _route_probe(monkeypatch, responsive=True,
+                                default_devices=pod, impl_behavior="raise")
+    assert impl == [8] and reexec == [8]  # failure -> safe fallback
+
+
+def test_dryrun_subproc_guard_prevents_recursion(monkeypatch):
+    """Inside the re-exec subprocess (_GRAFT_DRYRUN_SUBPROC=1) the dryrun
+    must call the impl directly — no probe, no further subprocess."""
+    import __graft_entry__ as g
+
+    monkeypatch.setenv(g._SUBPROC_ENV, "1")
+    calls = []
+    monkeypatch.setattr(g, "_dryrun_multichip_impl",
+                        lambda n: calls.append(n))
+    monkeypatch.setattr(
+        g, "_default_backend_responsive",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("no probe")))
+    monkeypatch.setattr(
+        g, "_reexec_cpu_dryrun",
+        lambda n: (_ for _ in ()).throw(AssertionError("no recursion")))
+    g.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_rand_batch_is_pure_numpy():
+    """r3 root cause: batch construction used jnp.asarray and committed to
+    the default backend. The batch builder must return numpy only."""
+    import __graft_entry__ as g
+
+    batch = g._rand_batch(np.random.default_rng(0), 2, 480, 8, 12)
+    for k, v in batch.items():
+        assert type(v) is np.ndarray, f"{k} is {type(v)}, not numpy"
 
 
 @pytest.mark.slow

@@ -4,7 +4,9 @@
 vmapped over tasks -> outer Adam).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "utts/s/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "unique_utts/s/chip", "vs_baseline": N}
+
+`value` semantics are FROZEN at unique utterances/s/chip (see main()).
 
 vs_baseline compares against the PyTorch reference-style implementation
 (bench_baseline_torch.py: sequential copy-the-model FOMAML). The reference's
@@ -209,7 +211,7 @@ def main():
         # of hanging the harness in backend init forever
         print(json.dumps({
             "metric": "fomaml_meta_train_throughput", "value": None,
-            "unit": "utts/s/chip", "vs_baseline": None,
+            "unit": "unique_utts/s/chip", "vs_baseline": None,
             "error": "TPU attachment unresponsive (backend init probe "
                      "timed out); see ROUND3_NOTES.md infra note"}))
         sys.exit(1)
@@ -237,10 +239,17 @@ def main():
     unique = M_TASKS * (K_SUPPORT + K_QUERY)
     vs = value / base if base == base else None  # nan check
     vs_seq = value / seq if seq == seq else None
+    # SEMANTICS FROZEN (r3+): `value` is UNIQUE utterances/s/chip — each
+    # drawn utterance counted once per meta-step. r2's headline counted
+    # presentations (support utts once per inner step), so BENCH_r02's
+    # 2304.55 corresponds to r3+'s `presentations_per_sec` field, NOT to
+    # `value`; the apparent r2->r3 2x drop is the accounting change, not a
+    # regression (ROUND3_NOTES.md item 9). Do not change `value`'s meaning.
+    assert unique <= passes, "value must be the unique-utts accounting"
     print(json.dumps({
         "metric": "fomaml_meta_train_throughput",
         "value": round(value * unique / passes, 2),
-        "unit": "utts/s/chip",
+        "unit": "unique_utts/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "vs_samechip_sequential": round(vs_seq, 2) if vs_seq is not None
         else None,

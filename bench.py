@@ -90,7 +90,11 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
     grad_fn = maml_grads(task.loss_fn, MetaAlgoConfig(
-        inner_lr=1e-2, inner_steps=INNER_STEPS, first_order=True,
+        inner_lr=1e-2, inner_steps=INNER_STEPS,
+        # experiment hook (not set by the driver): BENCH_SECOND_ORDER=1
+        # measures full second-order MAML (grad-of-grad) at this workload
+        # — used for the fp32-vs-bf16 MAML meta-step comparison
+        first_order=not os.environ.get("BENCH_SECOND_ORDER"),
         remat_inner=True, unroll_inner=True,
         # the shipped flagship default (configs/config3_fomaml.yaml):
         # bf16 meta-step — +5.5% here AND better 5-shot WER than fp32 at

@@ -16,4 +16,6 @@ from metaasr_tpu.serve.export import (  # noqa: F401
     cast_weights,
     export_bundle,
     make_decode_fn,
+    pack_decode_outputs,
+    unpack_decode_outputs,
 )

@@ -60,6 +60,11 @@ class ExportSpec:
     # "beam" (joint CTC/attention search — transformer only) or "greedy"
     # (argmax CTC collapse — any arch incl. the VGG-BLSTM phone baseline)
     mode: str = "beam"
+    # pack tokens/lengths/scores into one int32 output array so serving
+    # readback is a single D2H round trip (pack_decode_outputs). Default
+    # on: the unpack is free on host and the fetch count dominates the
+    # readback cost on a network-attached chip (docs/PROFILE.md).
+    packed: bool = True
     # "float32" (default) or "bfloat16": cast float weights to bf16 in the
     # bundle AND in the exported program's parameter argument. The MXU
     # consumes bf16 operands natively and the sequential decoder steps are
@@ -70,6 +75,36 @@ class ExportSpec:
     # one bf16 rounding of the weights. Hot-swapped params must then be
     # bf16 too (cast_weights below; ServingDecoder.transcribe does it).
     weights_dtype: str = "float32"
+
+
+def pack_decode_outputs(out):
+    """[traced] Fold {tokens [B,K,L] i32, lengths [B,K] i32, scores [B,K]
+    f32} into ONE [B,K,L+2] int32 array (scores bitcast into the last
+    lane).
+
+    Motivation (docs/PROFILE.md decode section): on the network-attached
+    TPU each host readback is round-trip-bound, not byte-bound — the
+    pipelined decode path pays three blocking D2H fetches per batch
+    (tokens, lengths, scores) out of ~11 ms/batch of non-compute wall
+    time. One packed array makes that a single fetch; the concatenate is
+    a few KB of device work.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    tokens = out["tokens"].astype(jnp.int32)
+    lengths = out["lengths"].astype(jnp.int32)[:, :, None]
+    scores = lax.bitcast_convert_type(
+        out["scores"].astype(jnp.float32), jnp.int32)[:, :, None]
+    return jnp.concatenate([tokens, lengths, scores], axis=2)
+
+
+def unpack_decode_outputs(packed) -> dict:
+    """[host] Inverse of pack_decode_outputs on the fetched array."""
+    packed = np.asarray(packed)
+    return {"tokens": packed[:, :, :-2],
+            "lengths": packed[:, :, -2],
+            "scores": packed[:, :, -1].view(np.float32)}
 
 
 def cast_weights(params, dtype: str):
@@ -242,6 +277,11 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
                          f"got {spec.weights_dtype!r}")
     if spec.weights_dtype != "float32":
         call_params = cast_weights(call_params, spec.weights_dtype)
+    if spec.packed:
+        inner_fn = fn
+
+        def fn(params, x, x_lens):  # noqa: F811 — packed wrapper
+            return pack_decode_outputs(inner_fn(params, x, x_lens))
 
     os.makedirs(out_dir, exist_ok=True)
     feat_dim = ecfg.frontend.num_mel_bins
@@ -271,6 +311,7 @@ def export_bundle(cfg, params, tokenizer, out_dir: str,
         "platforms": list(spec.platforms),
         "from_feats": spec.from_feats,
         "mode": spec.mode,
+        "packed": spec.packed,
         "weights_dtype": spec.weights_dtype,
         "files": files,
         "vocab_kind": cfg.data.vocab,
@@ -422,6 +463,8 @@ class ServingDecoder:
         return self._fns[(bsz, width)](params, x, lens), n
 
     def _read(self, out, n: int, nbest: int):
+        if self.meta.get("packed"):
+            out = unpack_decode_outputs(out)  # one D2H fetch, host unpack
         toks = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         scores = np.asarray(out["scores"])

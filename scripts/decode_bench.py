@@ -80,17 +80,21 @@ def _setup(bsz: int, beam: int, lm_weight: float = 0.0):
         lm_params = lm_model.init(jax.random.PRNGKey(1),
                                   jnp.zeros((1, 2), jnp.int32))["params"]
 
-    run = jax.jit(lambda p, f, l: beam_search_transformer(
-        model, p, f, l, EOS, cfg, lm_model=lm_model, lm_params=lm_params))
+    def raw(p, f, l):
+        return beam_search_transformer(model, p, f, l, EOS, cfg,
+                                       lm_model=lm_model,
+                                       lm_params=lm_params)
+
+    run = jax.jit(raw)
     # compile + drain: host value read, NOT block_until_ready (which can
     # return early on this attachment and bleed warmup into the first pass)
     out = run(params, feats, lens)
     _ = int(np.asarray(out["lengths"])[0, 0])
-    return run, params, feats, lens
+    return run, params, feats, lens, raw
 
 
 def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
-    run, params, feats, lens = _setup(bsz, beam, lm_weight)
+    run, params, feats, lens, _raw = _setup(bsz, beam, lm_weight)
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -113,7 +117,7 @@ def measure_pipelined(bsz: int, beam: int = 10, nbatches: int = 8) -> dict:
     with batch i readback. Reports BOTH the pipelined rate and its own
     sync-read baseline (same full-token readback) so the speedup is
     computable from this row alone."""
-    run, params, feats0, lens = _setup(bsz, beam)
+    run, params, feats0, lens, raw = _setup(bsz, beam)
     rng = np.random.default_rng(1)
     feats = [feats0] + [
         jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
@@ -138,12 +142,37 @@ def measure_pipelined(bsz: int, beam: int = 10, nbatches: int = 8) -> dict:
         return sorted(dts)[1]
 
     dt_sync, dt_pipe = timed(False), timed(True)
+
+    # packed readback (serve.pack_decode_outputs): fold tokens/lengths/
+    # scores into ONE int32 array in-program so each batch costs a single
+    # D2H fetch instead of three — the readback on this network-attached
+    # chip is round-trip-bound, not byte-bound (docs/PROFILE.md)
+    from metaasr_tpu.serve import pack_decode_outputs, unpack_decode_outputs
+
+    run_packed = jax.jit(
+        lambda p, f, l: pack_decode_outputs(raw(p, f, l)))
+    _ = np.asarray(run_packed(params, feats[0], lens))  # compile + drain
+
+    def timed_packed() -> float:
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [run_packed(params, f, lens) for f in feats]
+            for out in outs:
+                unpack_decode_outputs(out)  # the one blocking fetch
+            dts.append(time.perf_counter() - t0)
+        return sorted(dts)[1]
+
+    dt_packed = timed_packed()
     return {"batch": bsz, "beam": beam, "decode_steps": STEPS,
             "mode": "pipelined", "nbatches": nbatches,
             "ms_per_batch": round(dt_pipe / nbatches * 1e3, 1),
             "utts_per_sec": round(nbatches * bsz / dt_pipe, 1),
             "sync_read_utts_per_sec": round(nbatches * bsz / dt_sync, 1),
             "speedup_vs_sync_read": round(dt_sync / dt_pipe, 2),
+            "packed_readback_utts_per_sec":
+                round(nbatches * bsz / dt_packed, 1),
+            "packed_vs_dict_readback": round(dt_pipe / dt_packed, 2),
             "rtf": round(dt_pipe / (nbatches * bsz * AUDIO_SEC), 5)}
 
 

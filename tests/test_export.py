@@ -340,3 +340,41 @@ def test_hot_swap_cast_cached_per_tree(tmp_path, monkeypatch):
     adapted2 = jax.tree.map(lambda a: a + 0.02, params)
     dec.transcribe(waves, params=adapted2)
     assert len(calls) == 2, "a new tree must invalidate the cache"
+
+
+def test_packed_outputs_roundtrip_and_parity(tmp_path):
+    """packed=True bundles return ONE int32 array per dispatch (single D2H
+    fetch on the serving hot path); results must be identical to a
+    packed=False bundle of the same model, and pack->unpack must be exact
+    including the float32 score bitcast."""
+    from metaasr_tpu.serve import pack_decode_outputs, unpack_decode_outputs
+
+    # exactness of the pack/unpack pair, scores bitcast included
+    rng = np.random.default_rng(0)
+    out = {"tokens": jnp.asarray(rng.integers(0, 30, (2, 3, 5)), jnp.int32),
+           "lengths": jnp.asarray(rng.integers(0, 6, (2, 3)), jnp.int32),
+           "scores": jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)}
+    packed = np.asarray(jax.jit(pack_decode_outputs)(out))
+    assert packed.shape == (2, 3, 7) and packed.dtype == np.int32
+    un = unpack_decode_outputs(packed)
+    np.testing.assert_array_equal(un["tokens"], np.asarray(out["tokens"]))
+    np.testing.assert_array_equal(un["lengths"], np.asarray(out["lengths"]))
+    np.testing.assert_array_equal(un["scores"], np.asarray(out["scores"]))
+
+    cfg, task, tok, params, _, rng = _setup()
+    bucket = (2, 8000)
+    export_bundle(cfg, params, tok, str(tmp_path / "packed"),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",),
+                                  packed=True))
+    export_bundle(cfg, params, tok, str(tmp_path / "dict"),
+                  spec=ExportSpec(buckets=(bucket,), platforms=("cpu",),
+                                  packed=False))
+    dp = ServingDecoder(str(tmp_path / "packed"))
+    dd = ServingDecoder(str(tmp_path / "dict"))
+    assert dp.meta["packed"] and not dd.meta["packed"]
+    raw, _ = dp._dispatch(_waves(rng), None)
+    assert not isinstance(raw, dict), "packed bundle must emit one array"
+    waves = _waves(np.random.default_rng(7))
+    got_p = dp.transcribe(waves, nbest=3)
+    got_d = dd.transcribe(waves, nbest=3)
+    assert got_p == got_d

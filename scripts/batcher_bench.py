@@ -37,6 +37,11 @@ import numpy as np
 
 import jax
 
+_p = os.environ.get("JAX_PLATFORMS")
+if _p:
+    # axon sitecustomize re-pins jax_platforms at interpreter start;
+    # honor the caller's env (JAX_PLATFORMS=cpu --tiny must stay off-chip)
+    jax.config.update("jax_platforms", _p)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
@@ -47,7 +52,7 @@ BSZ = 16
 STEPS = 48
 
 
-def _build_bundle(d: str):
+def _build_bundle(d: str, tiny: bool = False):
     from metaasr_tpu.config import Config
     from metaasr_tpu.data.tokenizer import CharTokenizer
     from metaasr_tpu.serve import ExportSpec, export_bundle
@@ -57,14 +62,23 @@ def _build_bundle(d: str):
     cfg = Config()
     cfg.model.arch = "transformer"
     cfg.model.vocab_size = tok.vocab_size
-    cfg.model.d_model, cfg.model.num_heads = 256, 4
-    cfg.model.d_ff = 2048
-    cfg.model.num_encoder_layers, cfg.model.num_decoder_layers = 12, 6
-    cfg.model.dtype = "bfloat16"
+    if tiny:  # CPU smoke mode (--tiny): validates the harness, not perf
+        cfg.model.d_model, cfg.model.num_heads = 32, 2
+        cfg.model.d_ff = 64
+        cfg.model.num_encoder_layers, cfg.model.num_decoder_layers = 2, 2
+        cfg.model.dtype = "float32"
+        cfg.train.beam_size = 3
+        cfg.data.max_tokens = 8
+        cfg.train.beam_min_len = 8
+    else:
+        cfg.model.d_model, cfg.model.num_heads = 256, 4
+        cfg.model.d_ff = 2048
+        cfg.model.num_encoder_layers, cfg.model.num_decoder_layers = 12, 6
+        cfg.model.dtype = "bfloat16"
+        cfg.data.max_tokens = STEPS
+        cfg.train.beam_size = 10
+        cfg.train.beam_min_len = STEPS
     cfg.model.dropout = 0.0
-    cfg.data.max_tokens = STEPS
-    cfg.train.beam_size = 10
-    cfg.train.beam_min_len = STEPS
     task = ASRTask(cfg, tok.sos_eos_id)
     rng = np.random.default_rng(0)
     import jax.numpy as jnp
@@ -143,7 +157,12 @@ def main():
     ap.add_argument("--loads", default="25,50,100,150,200,250")
     ap.add_argument("--secs", type=float, default=15.0)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + short legs: CPU harness smoke")
     args = ap.parse_args()
+    if args.tiny:
+        args.secs = min(args.secs, 3.0)
+        args.loads = "20,60"
 
     from metaasr_tpu.serve import ServingDecoder
     from metaasr_tpu.serve.batcher import DynamicBatcher
@@ -151,7 +170,7 @@ def main():
     print(f"# device={jax.devices()[0]}", flush=True)
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as d:
-        _build_bundle(d)
+        _build_bundle(d, tiny=args.tiny)
         dec = ServingDecoder(d)
         # warm every bucket (compile) before the timed legs
         for b, w in dec.buckets:

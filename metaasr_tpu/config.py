@@ -55,7 +55,13 @@ class SpecAugmentConfig:
 class ModelConfig:
     arch: str = "transformer"  # "transformer" | "vgg_blstm"
     # encoder for arch=transformer: "transformer" | "conformer" (macaron
-    # FFN + rel-pos attention + depthwise-conv module; models/conformer.py)
+    # FFN + rel-pos attention + depthwise-conv module; models/conformer.py).
+    # "conformer" is EXPERIMENTAL for meta-training: it needs the
+    # ANIL-decoder recipe (meta.adapt_filter=('decoder',)) to train at
+    # all, and its best measured 5-shot beam WER on the hard benchmark is
+    # 0.189 (avg-last-5 0.131) vs the transformer flagship's 0.026
+    # (0.007) — see RESULTS.md "conformer bisection" for every measured
+    # composition before choosing it
     encoder: str = "transformer"
     conformer_kernel: int = 15  # depthwise-conv kernel width
     feat_dim: int = constants.FEAT_DIM

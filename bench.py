@@ -219,19 +219,24 @@ def main():
             "error": "TPU attachment unresponsive (backend init probe "
                      "timed out); see ROUND3_NOTES.md infra note"}))
         sys.exit(1)
-    value, mfu = measure_jax()
-    # larger-batch regime (8 tasks x 8-shot): same model, shapes the MXU
-    # likes better — reported inside the same JSON line (the driver
-    # expects exactly one line)
-    try:
-        value8, mfu8 = measure_jax(steps=10, m_tasks=8, k_shot=8)
-        large = {"tasks": 8, "k_shot": 8,
-                 "unique_utts_per_sec": round(value8 * 16 / 32, 2),
-                 "presentations_per_sec": round(value8, 2),
-                 "mfu": round(mfu8, 4) if mfu8 == mfu8 else None}
-    except Exception as e:
-        print(f"# large-batch row failed: {e}", file=sys.stderr)
-        large = None
+    # HEADLINE operating point (r4): 4 tasks x 16-shot — the best
+    # training-sensible point of the r4 knee sweep (scripts/
+    # sweep_throughput.py, docs/PROFILE.md scaling table). The knee is
+    # fused-batch 64; at fixed fused size fewer task replicas win (the
+    # limiting resource is per-task fast-weight HBM traffic), and 4 tasks
+    # matches the shipped flagship meta-batch. 2x32 measures 2.6% faster
+    # still but a 2-task outer gradient is too noisy to ship as a
+    # training config; it is reported in the sweep table instead.
+    H_TASKS, H_K = 4, 16
+    value, mfu = measure_jax(steps=10, m_tasks=H_TASKS, k_shot=H_K)
+    # the r1-r3 workload (4x4), unchanged, for cross-round trend reading
+    # — and it is the workload both cached baselines measure, so the
+    # vs_* ratios are computed here (same-workload, apples to apples)
+    value44, mfu44 = measure_jax()
+    compat = {"tasks": M_TASKS, "k_shot": K_SUPPORT,
+              "unique_utts_per_sec": round(value44 * 32 / 64, 2),
+              "presentations_per_sec": round(value44, 2),
+              "mfu": round(mfu44, 4) if mfu44 == mfu44 else None}
     base = torch_baseline()
     seq = seq_baseline()
     # Throughput accounting: `value`/headline counts each drawn utterance
@@ -241,18 +246,24 @@ def main():
     # either accounting.
     passes = M_TASKS * (K_SUPPORT * INNER_STEPS + K_QUERY)
     unique = M_TASKS * (K_SUPPORT + K_QUERY)
-    vs = value / base if base == base else None  # nan check
-    vs_seq = value / seq if seq == seq else None
+    # ratios at the workload the cached baselines measure (4x4)
+    vs = value44 / base if base == base else None  # nan check
+    vs_seq = value44 / seq if seq == seq else None
     # SEMANTICS FROZEN (r3+): `value` is UNIQUE utterances/s/chip — each
     # drawn utterance counted once per meta-step. r2's headline counted
     # presentations (support utts once per inner step), so BENCH_r02's
     # 2304.55 corresponds to r3+'s `presentations_per_sec` field, NOT to
     # `value`; the apparent r2->r3 2x drop is the accounting change, not a
     # regression (ROUND3_NOTES.md item 9). Do not change `value`'s meaning.
-    assert unique <= passes, "value must be the unique-utts accounting"
+    # r4 note: the headline WORKLOAD moved 4x4 -> 4x16 (the measured knee,
+    # VERDICT r3 item 3); `compat_4x4` carries the r3-comparable number.
+    h_passes = H_TASKS * (H_K * INNER_STEPS + H_K)
+    h_unique = H_TASKS * (H_K + H_K)
+    assert unique <= passes and h_unique <= h_passes, \
+        "value must be the unique-utts accounting"
     print(json.dumps({
         "metric": "fomaml_meta_train_throughput",
-        "value": round(value * unique / passes, 2),
+        "value": round(value * h_unique / h_passes, 2),
         "unit": "unique_utts/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "vs_samechip_sequential": round(vs_seq, 2) if vs_seq is not None
@@ -262,11 +273,13 @@ def main():
         "baseline": "pytorch reference-style copy-the-model FOMAML (cpu, "
                     "reference GPU unavailable); vs_samechip_sequential: "
                     "same jitted compute, reference's sequential "
-                    "orchestration, same TPU chip",
-        "workload": {"tasks": M_TASKS, "k_support": K_SUPPORT,
-                     "k_query": K_QUERY, "inner_steps": INNER_STEPS,
+                    "orchestration, same TPU chip; both ratios computed "
+                    "at the 4x4 workload the baselines measure "
+                    "(compat_4x4 row)",
+        "workload": {"tasks": H_TASKS, "k_support": H_K,
+                     "k_query": H_K, "inner_steps": INNER_STEPS,
                      "audio_sec": NUM_SAMPLES / 16000},
-        "large_batch": large,
+        "compat_4x4": compat,
     }))
 
 

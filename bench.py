@@ -68,6 +68,10 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     cfg.model.dtype = "bfloat16"
     cfg.meta.inner_steps = INNER_STEPS
     task = ASRTask(cfg)
+    if os.environ.get("BENCH_SECOND_ORDER"):
+        # grad-of-grad can't pass through the Pallas CTC custom VJP;
+        # the MAML trainer makes the same switch (train/meta_train.py)
+        task.require_full_autodiff()
     rng = np.random.default_rng(0)
 
     def batch(bsz):

@@ -515,9 +515,13 @@ class MetaASRTrainer:
         return {"wer": compute_wer(hyps, refs), "cer": compute_cer(hyps, refs)}
 
     def _beam_read(self, out, nbest: int = 1):
-        """Host readback of one dispatched beam batch. Returns (texts,
-        extras): top hypothesis per utterance as text, plus per-utterance
-        dump extras ({"score"} and, for nbest > 1, {"nbest": [...]})."""
+        """Host readback of one dispatched beam batch (a packed int32
+        array; serve/export.py unpack). Returns (texts, extras): top
+        hypothesis per utterance as text, plus per-utterance dump extras
+        ({"score"} and, for nbest > 1, {"nbest": [...]})."""
+        from metaasr_tpu.serve.export import unpack_decode_outputs
+
+        out = unpack_decode_outputs(out)
         toks = np.asarray(out["tokens"])
         lens = np.asarray(out["lengths"])
         scores = np.asarray(out["scores"])
@@ -590,11 +594,15 @@ class MetaASRTrainer:
             eos = self.task.sos_eos_id
             lm_model, lm_params = self._fusion_lm()
 
+            from metaasr_tpu.serve.export import pack_decode_outputs
+
             def run(params, feats, feat_lens):
-                return beam_search_transformer(model, params, feats, feat_lens,
-                                               eos, bs_cfg,
-                                               lm_model=lm_model,
-                                               lm_params=lm_params)
+                # packed outputs: one D2H fetch per batch instead of
+                # three in the pipelined readback loop (_beam_read
+                # unpacks; see serve/export.py pack_decode_outputs)
+                return pack_decode_outputs(beam_search_transformer(
+                    model, params, feats, feat_lens, eos, bs_cfg,
+                    lm_model=lm_model, lm_params=lm_params))
 
             self._beam_cache[key] = jax.jit(run)
         return self._beam_cache[key]

@@ -361,8 +361,13 @@ class ServingDecoder:
                 f"bundle version {self.meta['version']} not in "
                 f"{COMPATIBLE_BUNDLE_VERSIONS}")
         self.tokenizer = _load_tokenizer(bundle_dir, self.meta["vocab_kind"])
-        self.params = _load_bundle_params(
-            os.path.join(bundle_dir, "params.npz"))
+        # device_put ONCE at load: numpy trees passed to a jitted call are
+        # re-uploaded EVERY call — ~100 MB of flagship weights per dispatch
+        # on a network-attached chip measured ~2.8 s/request before this
+        # (r4 batcher bench); device-resident params make dispatch ship
+        # only the audio
+        self.params = jax.device_put(_load_bundle_params(
+            os.path.join(bundle_dir, "params.npz")))
         self.weights_dtype = self.meta.get("weights_dtype", "float32")
         self._fns = {}
         for key, fname in self.meta["files"].items():
@@ -458,6 +463,11 @@ class ServingDecoder:
                 # hot-swapped (meta_adapt-ed) trees arrive fp32; the
                 # program's argument spec is bf16 — cast to match
                 params = cast_weights(params, self.weights_dtype)
+            # device-resident like self.params: without this every
+            # dispatch re-uploads the full tree (see __init__ note)
+            import jax as _jax
+
+            params = _jax.device_put(params)
             # strong ref to orig keeps its id() live for the `is` check
             self._swap_cache = (orig, params)
         return self._fns[(bsz, width)](params, x, lens), n

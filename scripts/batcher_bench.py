@@ -124,7 +124,10 @@ def _load_leg(batcher, rate_hz: float, secs: float, rng):
         n_sent += 1
 
         def wait(f=fut, t=t_sub):
-            f.result(timeout=120)
+            try:
+                f.result(timeout=120)
+            except Exception:
+                return  # timed-out/failed request: counted via sent-completed
             with lat_lock:
                 lat.append(time.perf_counter() - t)
 
@@ -137,6 +140,8 @@ def _load_leg(batcher, rate_hz: float, secs: float, rng):
     lat = sorted(lat)
 
     def pct(p):
+        if not lat:
+            return None
         return round(1e3 * lat[min(len(lat) - 1,
                                    int(p / 100 * len(lat)))], 1)
 

@@ -21,6 +21,16 @@ TPU-first design points:
   the FIRST one — so an idle service adds at most max_wait_ms latency and
   a loaded service fills buckets (bigger batches = the MXU regime the
   profile tables favor).
+- **Backpressure batching** (``max_inflight``, r4): device dispatches in
+  flight are capped. When the device is the bottleneck the dispatcher
+  blocks on a slot instead of racing ahead with tiny groups; the backlog
+  that builds while it waits is drained into the group the moment a slot
+  frees (up to max_batch). Measured effect on the r4 load bench: without
+  the cap, groups plateaued at mean ~4.5 even at 250 offered utts/s and
+  the service saturated at ~77 utts/s of 45-70 ms small-bucket decodes;
+  with it, overload turns into full buckets (the regime where the B=16
+  decode sustains ~320 utts/s packed). Two slots keep the
+  dispatch/compute/readback pipeline full without unbounded queueing.
 - **Bucket selection is the bundle's own** (`ServingDecoder._pick_bucket`
   via ``_dispatch``): a group is padded to the smallest exported
   (batch, width) bucket that fits, identical to a hand-built batch call.
@@ -63,12 +73,14 @@ class DynamicBatcher:
 
     def __init__(self, decoder, max_wait_ms: float = 5.0,
                  max_batch: int | None = None, params: Any = None,
-                 nbest: int = 1):
+                 nbest: int = 1, max_inflight: int = 2):
         self.decoder = decoder
         self.max_wait = max_wait_ms / 1e3
         self.max_batch = max_batch or max(b for b, _ in decoder.buckets)
         self.params = params
         self.nbest = nbest
+        self._inflight = threading.BoundedSemaphore(max_inflight)
+        self._stop_seen = False
         self._max_width = max(w for _, w in decoder.buckets)
         self._in: queue.Queue = queue.Queue()
         self._pending: queue.Queue = queue.Queue()
@@ -136,33 +148,53 @@ class DynamicBatcher:
         return group, False
 
     def _dispatch_loop(self):
-        stop = False
-        while not stop:
+        while not self._stop_seen:
             item = self._in.get()
             if item is self._STOP:
                 break
-            group, stop = self._collect(item)
+            group, saw_stop = self._collect(item)
+            self._stop_seen = self._stop_seen or saw_stop
             self._dispatch_group([x for x, _ in group],
                                  [f for _, f in group])
         self._pending.put(self._STOP)
 
-    def _dispatch_group(self, xs, futs):
+    def _top_up(self, xs, futs):
+        """Drain the backlog built while waiting for an inflight slot
+        (non-blocking) into this group, up to max_batch — the
+        backpressure-batching half of the design note above."""
+        while len(xs) < self.max_batch:
+            try:
+                item = self._in.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                self._stop_seen = True
+                break
+            xs.append(item[0])
+            futs.append(item[1])
+
+    def _dispatch_group(self, xs, futs, top_up: bool = True):
+        self._inflight.acquire()   # backpressure: wait for a device slot
+        if top_up:
+            self._top_up(xs, futs)
         try:
             # enqueues on the device without synchronizing; the reader
-            # thread owns the blocking host read
+            # thread owns the blocking host read (and releases the slot)
             out, n = self.decoder._dispatch(xs, self.params)
         except ValueError as e:
+            self._inflight.release()
             # a group can be jointly unfittable while every member fits
             # alone (e.g. the wide bucket is batch-1 and three requests
             # arrived, one of them wide): split and serve singly so only
             # genuinely unservable requests fail
             if len(xs) > 1:
                 for x, f in zip(xs, futs):
-                    self._dispatch_group([x], [f])
+                    self._dispatch_group([x], [f], top_up=False)
                 return
             futs[0].set_exception(e)
             return
         except Exception as e:
+            self._inflight.release()
             for f in futs:
                 f.set_exception(e)
             return
@@ -181,6 +213,8 @@ class DynamicBatcher:
             except Exception as e:
                 for f in futs:
                     f.set_exception(e)
+                self._inflight.release()
                 continue
             for f, r in zip(futs, results):
                 f.set_result(r)
+            self._inflight.release()

@@ -112,3 +112,58 @@ def test_batcher_close_flushes_and_rejects_new_work(bundle):
         decoder.transcribe([w])[0]["text"]
     with pytest.raises(RuntimeError, match="closed"):
         b.submit(w)
+
+
+class _StubDecoder:
+    """Duck-typed decoder with a controllable service time: _dispatch
+    returns a lazy token payload, _read blocks ``delay`` seconds
+    (simulating device decode + readback)."""
+
+    def __init__(self, delay=0.05, max_b=16):
+        self.buckets = [(max_b, 8000)]
+        self.dispatched = []   # group sizes, in order
+        self._delay = delay
+
+    def _dispatch(self, xs, params):
+        self.dispatched.append(len(xs))
+        return list(range(len(xs))), len(xs)
+
+    def _read(self, out, n, nbest):
+        import time
+
+        time.sleep(self._delay)
+        return [{"text": f"t{i}", "score": 0.0} for i in range(n)]
+
+
+def test_batcher_backpressure_grows_groups_under_overload():
+    """r4 load-bench finding: without an inflight cap the dispatcher
+    races ahead with tiny groups while the device is the bottleneck
+    (measured mean group 4.5 at 250 offered utts/s -> ~77 utts/s
+    saturation). With backpressure, the backlog built while waiting for
+    a device slot must drain into FULL groups."""
+    dec = _StubDecoder(delay=0.05, max_b=16)
+    with DynamicBatcher(dec, max_wait_ms=1.0, max_inflight=2) as b:
+        futs = [b.submit(np.zeros(100, np.float32)) for _ in range(64)]
+        for f in futs:
+            assert f.result(timeout=30)["text"].startswith("t")
+    assert sum(dec.dispatched) == 64
+    # after the first couple of small warm-up groups, the backlog must
+    # coalesce: at 50 ms service time every post-warmup group should hit
+    # max_batch, and the dispatch count stays near the 64/16 ideal
+    assert max(dec.dispatched) == 16
+    assert len(dec.dispatched) <= 8, dec.dispatched
+
+
+def test_batcher_inflight_slot_released_on_read_error():
+    """A failing read must release its device slot or the batcher wedges
+    after max_inflight failures."""
+
+    class BadRead(_StubDecoder):
+        def _read(self, out, n, nbest):
+            raise RuntimeError("boom")
+
+    dec = BadRead(delay=0.0, max_b=4)
+    with DynamicBatcher(dec, max_wait_ms=0.0, max_inflight=1) as b:
+        for _ in range(4):   # > max_inflight: would deadlock on a leak
+            with pytest.raises(RuntimeError, match="boom"):
+                b.submit(np.zeros(10, np.float32)).result(timeout=10)

@@ -164,6 +164,8 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + short legs: CPU harness smoke")
+    ap.add_argument("--max-inflight", type=int, default=2,
+                    help="DynamicBatcher in-flight dispatch cap")
     args = ap.parse_args()
     if args.tiny:
         args.secs = min(args.secs, 3.0)
@@ -203,7 +205,8 @@ def main():
 
         # --- load sweep ---
         rows = []
-        batcher = DynamicBatcher(dec, max_wait_ms=args.max_wait_ms)
+        batcher = DynamicBatcher(dec, max_wait_ms=args.max_wait_ms,
+                                 max_inflight=args.max_inflight)
         try:
             for rate in (float(r) for r in args.loads.split(",")):
                 row = _load_leg(batcher, rate, args.secs, rng)

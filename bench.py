@@ -99,7 +99,11 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
         # measures full second-order MAML (grad-of-grad) at this workload
         # — used for the fp32-vs-bf16 MAML meta-step comparison
         first_order=not os.environ.get("BENCH_SECOND_ORDER"),
-        remat_inner=True, unroll_inner=True,
+        # BENCH_NO_REMAT=1 probes the memory/FLOPs trade at the current
+        # workload: remat recomputes the inner forward in the backward to
+        # bound HBM — at few task replicas the memory may fit anyway
+        remat_inner=not os.environ.get("BENCH_NO_REMAT"),
+        unroll_inner=True,
         # the shipped flagship default (configs/config3_fomaml.yaml):
         # bf16 meta-step — +5.5% here AND better 5-shot WER than fp32 at
         # all 3 measured training seeds (RESULTS.md bf16 table).

@@ -129,7 +129,8 @@ def main(argv=None):
     p = argparse.ArgumentParser("metaasr_tpu")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--mode",
-                   choices=["train", "adapt", "test", "transcribe", "export"],
+                   choices=["train", "adapt", "test", "transcribe", "export",
+                            "serve"],
                    default="train")
     p.add_argument("--algo", choices=["no", "multi", "fomaml", "maml", "reptile"],
                    default=None)
@@ -166,6 +167,19 @@ def main(argv=None):
                    "(auto = beam for the transformer, greedy otherwise)")
     p.add_argument("--mesh-tasks", type=int, default=0,
                    help="shard meta tasks over a ('task','data') device mesh")
+    p.add_argument("--bundle", type=str, default=None,
+                   help="serve mode: exported bundle dir (--mode export "
+                   "output); self-contained — no config/workdir needed")
+    p.add_argument("--wav", nargs="+", default=None,
+                   help="serve mode: WAV files to transcribe through the "
+                   "bundle (decoded/resampled by the native loader)")
+    p.add_argument("--serve-params", type=str, default=None,
+                   help="serve mode: hot-swap an adapted params npz "
+                   "(checkpoint save_params_npz layout) into the bundle's "
+                   "compiled program")
+    p.add_argument("--serve-out", type=str, default=None,
+                   help="serve mode: write one JSONL record per file here "
+                   "instead of stdout only")
     p.add_argument("-o", "--override", action="append", default=[],
                    help="dotted config override key=value")
     p.add_argument("--avg-last", type=int, default=0,
@@ -191,6 +205,35 @@ def main(argv=None):
             "--use-best and --avg-last are mutually exclusive: averaging "
             "the last N checkpoints would overwrite the restored best "
             "params — pick one")
+
+    if args.mode == "serve":
+        # bundle serving surface: self-contained — the bundle carries its
+        # program, weights, tokenizer, and geometry, so no config,
+        # workdir, or training code loads (export once on any host, serve
+        # anywhere; serve/export.py). --serve-params hot-swaps an adapted
+        # tree into the same compiled program (the meta-serving pattern).
+        if not args.bundle or not args.wav:
+            raise SystemExit("--mode serve needs --bundle DIR and --wav "
+                             "FILE [FILE ...]")
+        from metaasr_tpu.serve import ServingDecoder
+
+        dec = ServingDecoder(args.bundle)
+        params = None
+        if args.serve_params:
+            from metaasr_tpu.train.checkpoint import load_params_npz
+
+            params = load_params_npz(args.serve_params)
+        results = dec.transcribe_files(args.wav, params=params,
+                                       nbest=args.dump_nbest)
+        out_f = open(args.serve_out, "w") if args.serve_out else None
+        for path, r in zip(args.wav, results):
+            line = json.dumps({"file": path, **r})
+            print(line)
+            if out_f:
+                out_f.write(line + "\n")
+        if out_f:
+            out_f.close()
+        return
 
     # resume/adapt/test default to the run's own recorded config: without
     # this, a second invocation with different flags silently overwrites

@@ -136,3 +136,71 @@ def test_cli_transcribe_mono_and_meta(synthetic_data_dir, tmp_path):
     assert rc == 0
     tres = json.load(open(f"{wd}/test_results.json"))
     assert "delta" in tres and 0.0 <= tres["delta"]["wer"] <= 2.0
+
+
+def test_cli_serve_from_bundle(tmp_path, capsys):
+    """--mode serve: bundle -> text from the command line with NO config,
+    workdir, or training code — the production serving surface. Covers
+    the WAV front door (native loader), JSONL output, and the adapted-
+    params hot-swap flag."""
+    import json
+    import wave
+
+    import jax
+    import numpy as np
+
+    from metaasr_tpu.cli import main
+    from metaasr_tpu.serve import ExportSpec, ServingDecoder, export_bundle
+    from metaasr_tpu.train.checkpoint import save_params_npz
+    from tests.test_export import _setup
+
+    cfg, task, tok, params, _, rng = _setup()
+    bundle = str(tmp_path / "bundle")
+    export_bundle(cfg, params, tok, bundle,
+                  spec=ExportSpec(buckets=((2, 8000),), platforms=("cpu",)))
+
+    wavs = []
+    for i, n in enumerate((8000, 5000)):
+        path = str(tmp_path / f"u{i}.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(cfg.frontend.sample_rate)
+            pcm = (0.1 * rng.standard_normal(n) * 32767).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+        wavs.append(path)
+
+    out = str(tmp_path / "hyps.jsonl")
+    rc = main(["--mode", "serve", "--bundle", bundle, "--wav", *wavs,
+               "--serve-out", out])
+    assert rc is None
+    recs = [json.loads(line) for line in open(out)]
+    assert [r["file"] for r in recs] == wavs
+    want = ServingDecoder(bundle).transcribe_files(wavs)
+    assert [r["text"] for r in recs] == [w["text"] for w in want]
+    stdout = capsys.readouterr().out
+    assert recs[0]["text"] in stdout  # stdout carries the same records
+
+    # adapted-params hot-swap through the CLI
+    adapted = jax.tree.map(lambda a: np.asarray(a) + 0.01, params)
+    npz = str(tmp_path / "adapted.npz")
+    save_params_npz(npz, adapted)
+    rc = main(["--mode", "serve", "--bundle", bundle, "--wav", wavs[0],
+               "--serve-params", npz])
+    assert rc is None
+    swapped = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ref = ServingDecoder(bundle).transcribe([_load(wavs[0], cfg)],
+                                            params=adapted)
+    assert swapped["text"] == ref[0]["text"]
+
+    # missing args fail crisply
+    import pytest
+
+    with pytest.raises(SystemExit, match="needs --bundle"):
+        main(["--mode", "serve", "--wav", wavs[0]])
+
+
+def _load(path, cfg):
+    from metaasr_tpu.data.audio_io import load_wav
+
+    return load_wav(path, target_rate=cfg.frontend.sample_rate)

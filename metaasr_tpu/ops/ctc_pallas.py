@@ -11,8 +11,16 @@ This kernel runs the whole alpha/beta recursion on-chip:
 - the beta pass runs backward over the same VMEM data, emitting the
   posterior gradient  d nll / d logp_z[t,s] = -exp(alpha + beta + nll)
   directly — one kernel, one HBM write of the gradient;
-- a custom VJP hands jax the [B, T, S] gradient, which is scattered back
+- a custom JVP hands jax the [B, T, S] gradient, which is scattered back
   to [B, T, V] by a one-hot matmul at the jax level (MXU, not scatter).
+
+Second-order capable (full MAML's grad-over-grad, BASELINE.json:10): the
+posterior-gradient computation is itself wrapped in a custom JVP whose
+tangent rule runs forward-over-reverse through a differentiable
+``lax.scan`` replica of the same recursion (``_scan_nll_gathered``). So
+every PRIMAL loss/gradient — including the inner-loop gradients inside a
+full-MAML meta-step — rides the VMEM kernel; only the outer backward's
+Hessian-vector products ride the scan. Third-order is unsupported.
 
 Lane shifts (alpha[s-1], alpha[s-2]) are circular ``pltpu.roll`` ops with
 iota masks on the wrapped lanes. Ragged T freezes the alpha carry per row;
@@ -120,13 +128,107 @@ def _ctc_kernel(logp_ref, skip_ref, lens_ref, end_ref, nll_ref, grad_ref,
     jax.lax.fori_loop(0, t_len, bwd, beta_init)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ctc_pallas(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
-    """All-float custom-vjp boundary: integer inputs break the
-    custom_vjp x vmap x jax.checkpoint composition (symbolic-zero
-    bookkeeping), so lens/end travel as float32 and are cast inside."""
+def _scan_nll_gathered(logp_z, skip_bias, lens_f, end_f):
+    """Differentiable alpha recursion over GATHERED emissions — the exact
+    math of ``_ctc_kernel``'s forward pass, as ``lax.scan`` of standard
+    primitives. Never runs on the first-order path; it exists so the
+    custom-JVP rules below can express second-order tangents (grad-of-grad
+    for full MAML, BASELINE.json:10) through ordinary autodiff while the
+    primal values keep riding the Pallas kernel.
+
+    logp_z [B, T, S_pad]; skip_bias [B, S_pad]; lens_f/end_f [B, 1] float.
+    Returns nll [B]."""
+    lens = lens_f.astype(jnp.int32)
+    end = end_f.astype(jnp.int32)
+    bsz, t_len, s_pad = logp_z.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, s_pad), 1)
+
+    lp0 = logp_z[:, 0]
+    alpha0 = jnp.where(lane == 0, lp0, LOG_EPS)
+    alpha0 = jnp.where((lane == 1) & (end > 0), lp0, alpha0)
+
+    def step(alpha, inputs):
+        lp_t, t = inputs
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)),
+                     constant_values=LOG_EPS)[:, :s_pad]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)),
+                     constant_values=LOG_EPS)[:, :s_pad]
+        # Clamp at LOG_EPS: padded lanes (emission = LOG_EPS) would
+        # otherwise accumulate -1e30 per frame into -inf, which poisons
+        # the tangent rules (0*inf). The clamp binds only on impossible
+        # states whose true posterior gradient is zero, and jnp.maximum
+        # routes their tangents to the constant branch — exactly the
+        # kernel's -exp(alpha+beta+nll) = 0 semantics. (The kernel itself
+        # needs no clamp: it is primal-only and exp(-inf) is a clean 0.)
+        new = jnp.maximum(lp_t + _lse3(alpha, a1, a2 + skip_bias), LOG_EPS)
+        return jnp.where(t < lens, new, alpha), None
+
+    xs = (jnp.moveaxis(logp_z, 1, 0)[1:], jnp.arange(1, t_len))
+    alpha_f, _ = jax.lax.scan(step, alpha0, xs)
+
+    pick = (lane == end) | ((lane == end - 1) & (end > 0))
+    a_end = jnp.where(pick, alpha_f, LOG_EPS)
+    m = jnp.max(a_end, axis=1, keepdims=True)
+    m_safe = jnp.maximum(m, LOG_EPS)
+    lse = m + jnp.log(jnp.sum(jnp.exp(a_end - m_safe), axis=1,
+                              keepdims=True))
+    return -lse[:, 0]
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _ctc_pair(t_len: int, interpret: bool, logp_z, skip_bias, lens_f, end_f):
+    """(nll [B], posterior grad [B, T, S_pad]) from ONE Pallas kernel call.
+
+    Differentiable once more (its JVP rule below routes tangents through
+    ``_scan_nll_gathered``), which is what makes the loss as a whole
+    second-order capable: the outer (MAML) backward differentiates the
+    inner-loop gradient ``g`` — i.e. this function — while every PRIMAL
+    alpha/beta recursion, at both orders, still runs in VMEM."""
+    return _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len, interpret)
+
+
+@_ctc_pair.defjvp
+def _ctc_pair_jvp(t_len, interpret, primals, tangents):
+    logp_z, skip_bias, lens_f, end_f = primals
+    d_logp = tangents[0]
+    # Primal from the kernel (fast path even inside a grad-of-grad trace).
+    nll, g = _ctc_pair(t_len, interpret, *primals)
+    # Tangents via the differentiable scan: nll_dot is exactly <g, d_logp>
+    # (cheap, uses the kernel's g); g_dot is the CTC Hessian-vector product,
+    # forward-over-reverse through the scan recursion. Third-order
+    # differentiation is unsupported (the scan-grad inside this rule is
+    # ordinary autodiff, but the kernel call above is not differentiable
+    # a second time) — full MAML needs exactly two orders.
+    nll_dot = jnp.sum(g * d_logp, axis=(1, 2))
+    _, g_dot = jax.jvp(
+        jax.grad(lambda lp: _scan_nll_gathered(
+            lp, skip_bias, lens_f, end_f).sum()),
+        (logp_z,), (d_logp,))
+    return (nll, g), (nll_dot, g_dot)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _ctc_pallas(t_len: int, interpret: bool, logp_z, skip_bias, lens_f,
+                end_f):
+    """All-float autodiff boundary: integer inputs break the custom-rule x
+    vmap x jax.checkpoint composition (symbolic-zero bookkeeping), so
+    lens/end travel as float32 and are cast inside. skip/lens/end tangents
+    are structurally zero in every real use (they derive from integer
+    label data) and are ignored by the rules, matching the old custom-VJP
+    semantics."""
     nll, _ = _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len, interpret)
     return nll
+
+
+@_ctc_pallas.defjvp
+def _ctc_pallas_jvp(t_len, interpret, primals, tangents):
+    d_logp = tangents[0]
+    nll, g = _ctc_pair(t_len, interpret, *primals)
+    # Linear in d_logp; transposes to the first-order cotangent g * ct with
+    # g held as a residual — identical cost/semantics to the previous
+    # custom VJP. Differentiating through it (outer MAML grad) reaches g
+    # via _ctc_pair's own JVP rule.
+    return nll, jnp.sum(g * d_logp, axis=(1, 2))
 
 
 BATCH_BLOCK = 8  # fp32 sublane size — middle block dim must be 8-divisible
@@ -202,21 +304,6 @@ def _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len: int, interpret: bool):
     return nll[:bsz, 0], jnp.moveaxis(grad[:, :bsz], 0, 1)
 
 
-def _ctc_fwd(logp_z, skip_bias, lens_f, end_f, t_len, interpret):
-    nll, grad = _ctc_run(logp_z, skip_bias, lens_f, end_f, t_len, interpret)
-    return nll, (grad, skip_bias, lens_f, end_f)
-
-
-def _ctc_bwd(t_len, interpret, res, ct):
-    # grad: [B, T, S_pad] = d nll_b / d logp_z; upstream ct: [B]
-    grad, skip_bias, lens_f, end_f = res
-    return (grad * ct[:, None, None], jnp.zeros_like(skip_bias),
-            jnp.zeros_like(lens_f), jnp.zeros_like(end_f))
-
-
-_ctc_pallas.defvjp(_ctc_fwd, _ctc_bwd)
-
-
 def ctc_forward_pallas(log_probs: jax.Array, logit_lens: jax.Array,
                        labels: jax.Array, label_lens: jax.Array,
                        blank: int = BLANK_ID,
@@ -250,10 +337,11 @@ def ctc_forward_pallas(log_probs: jax.Array, logit_lens: jax.Array,
     lens = logit_lens.astype(jnp.float32)[:, None]
     end = (2 * label_lens.astype(jnp.int32)).astype(jnp.float32)[:, None]
 
-    # Gradients: the custom VJP returns d nll / d logp_z [B, T, S_pad];
-    # jax chains it through take_along_axis's VJP (scatter-add back to
-    # [B, T, V]) automatically.
-    return _ctc_pallas(logp_z, skip_bias, lens, end, t_len, interpret)
+    # Gradients: the custom JVP rules return d nll / d logp_z [B, T, S_pad]
+    # (first order: the kernel's posterior grad; second order: scan-HVP
+    # tangents); jax chains them through take_along_axis's VJP
+    # (scatter-add back to [B, T, V]) automatically.
+    return _ctc_pallas(t_len, interpret, logp_z, skip_bias, lens, end)
 
 
 def ctc_loss_pallas(log_probs, logit_lens, labels, label_lens,

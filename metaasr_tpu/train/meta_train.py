@@ -107,7 +107,9 @@ class MetaASRTrainer:
         self.heldout_datasets = heldout_datasets
         self.mesh = mesh
         if cfg.meta.algo == "maml":
-            # second-order: grad-of-grad needs a fully differentiable CTC
+            # second-order: every op must be twice-differentiable. The
+            # Pallas CTC is (custom-JVP rework, r5) — only the Pallas LSTM
+            # still swaps to scan inside require_full_autodiff.
             task.require_full_autodiff()
         self.optimizer = make_optimizer(cfg.optimizer, cfg.model.d_model)
         self.ckpt = CheckpointManager(f"{workdir}/ckpts",
@@ -337,8 +339,14 @@ class MetaASRTrainer:
             if self.mesh is None:
                 batch = jax.device_put(batch)
             else:
+                # second_order: MAML's grad-of-grad + data-axis-sharded
+                # conv batches crash the GSPMD partitioner — shard tasks
+                # only (see parallel/mesh.py meta_batch_shardings)
                 batch = make_global_meta_batch(
-                    self.mesh, batch, meta_batch_shardings(self.mesh))
+                    self.mesh, batch,
+                    meta_batch_shardings(
+                        self.mesh,
+                        second_order=self.cfg.meta.algo == "maml"))
             yield batch
 
     def meta_train(self, max_steps: int | None = None) -> MetaTrainState:

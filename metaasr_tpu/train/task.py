@@ -84,15 +84,13 @@ class ASRTask:
                 jnp.asarray(np.sqrt(np.asarray(stats["var"], np.float32) + 1e-10)))
 
     def require_full_autodiff(self):
-        """Switch to the scan CTC backend. Second-order MAML differentiates
-        THROUGH the loss gradient; the Pallas CTC's custom VJP is
-        first-order only (it stores the posterior grad as a residual), so
-        grad-of-grad through it would be silently wrong."""
-        from metaasr_tpu.ops.ctc import ctc_loss as scan_ctc
-
-        self._ctc_loss = scan_ctc
+        """Ensure every op in the loss is twice-differentiable (second-order
+        MAML differentiates THROUGH the loss gradient). The Pallas CTC is
+        second-order capable since its custom-JVP rework (ops/ctc_pallas.py:
+        Pallas primals at both orders, scan HVP tangents) and needs no
+        fallback anymore; the Pallas LSTM's custom VJP is still first-order
+        only, so the BLSTM arch switches to the scan LSTM."""
         if self.arch == "vgg_blstm" and self.cfg.model.lstm_impl != "scan":
-            # the Pallas LSTM's custom VJP is first-order only too
             self.cfg.model.lstm_impl = "scan"
             self.model = build_model(self.cfg)
 

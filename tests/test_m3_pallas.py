@@ -66,6 +66,118 @@ def test_pallas_ctc_empty_and_edge(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5)
 
 
+def test_pallas_ctc_second_order_matches_scan(rng):
+    """r5: the custom-JVP rework makes the Pallas CTC twice-differentiable
+    (full MAML's grad-over-grad, VERDICT r4 item 2). HVP and
+    reverse-over-reverse must match the scan backend."""
+    from metaasr_tpu.ops.ctc import ctc_forward
+    from metaasr_tpu.ops.ctc_pallas import ctc_forward_pallas
+
+    bsz, t_len, u_len, vocab = 4, 16, 5, 8
+    logits = jnp.asarray(
+        rng.standard_normal((bsz, t_len, vocab)).astype(np.float32))
+    tlens = jnp.asarray(
+        rng.integers(u_len * 2 + 1, t_len + 1, bsz).astype(np.int32))
+    labels = jnp.asarray(
+        rng.integers(1, vocab, (bsz, u_len)).astype(np.int32))
+    ulens = jnp.asarray(rng.integers(1, u_len + 1, bsz).astype(np.int32))
+    v = jnp.asarray(rng.standard_normal(logits.shape).astype(np.float32))
+
+    def loss_p(x):
+        return ctc_forward_pallas(jax.nn.log_softmax(x, -1), tlens, labels,
+                                  ulens).sum()
+
+    def loss_s(x):
+        return ctc_forward(jax.nn.log_softmax(x, -1), tlens, labels,
+                           ulens).sum()
+
+    hvp_p = jax.jvp(jax.grad(loss_p), (logits,), (v,))[1]
+    hvp_s = jax.jvp(jax.grad(loss_s), (logits,), (v,))[1]
+    np.testing.assert_allclose(np.asarray(hvp_p), np.asarray(hvp_s),
+                               rtol=1e-3, atol=1e-5)
+    # reverse-over-reverse — the exact trace shape of MAML's outer grad
+    rr_p = jax.grad(lambda x: (jax.grad(loss_p)(x) * v).sum())(logits)
+    rr_s = jax.grad(lambda x: (jax.grad(loss_s)(x) * v).sum())(logits)
+    np.testing.assert_allclose(np.asarray(rr_p), np.asarray(rr_s),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_ctc_second_order_vmap_remat(rng):
+    """The MAML inner-step composition: vmap over tasks x jax.checkpoint
+    around inner SGD steps x grad-of-grad through the Pallas CTC."""
+    from metaasr_tpu.ops.ctc import ctc_forward
+    from metaasr_tpu.ops.ctc_pallas import ctc_forward_pallas
+
+    bsz, t_len, u_len, vocab = 3, 12, 4, 7
+    tlens = jnp.full((bsz,), t_len, jnp.int32)
+    labels = jnp.asarray(
+        rng.integers(1, vocab, (bsz, u_len)).astype(np.int32))
+    ulens = jnp.full((bsz,), u_len, jnp.int32)
+
+    def make_meta(loss_core):
+        def task_loss(x):
+            return loss_core(jax.nn.log_softmax(x, -1), tlens, labels,
+                             ulens).mean()
+
+        step = jax.checkpoint(lambda x: x - 0.1 * jax.grad(task_loss)(x))
+        return lambda x: task_loss(step(step(x)))
+
+    xb = jnp.asarray(
+        rng.standard_normal((2, bsz, t_len, vocab)).astype(np.float32))
+    g_p = jax.vmap(jax.grad(make_meta(ctc_forward_pallas)))(xb)
+    g_s = jax.vmap(jax.grad(make_meta(ctc_forward)))(xb)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_maml_meta_grads_pallas_vs_scan_ctc(rng):
+    """Full second-order MAML meta-gradients on a tiny VGG-BLSTM-free
+    linear CTC model: pallas CTC backend == scan CTC backend."""
+    from metaasr_tpu.meta.maml import MetaAlgoConfig, maml_grads
+    from metaasr_tpu.ops.ctc import ctc_loss
+    from metaasr_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+    bsz, t_len, feat, vocab, u_len = 2, 10, 6, 7, 3
+
+    def make_loss(ctc_fn):
+        def loss_fn(params, batch, rng_, train):
+            logits = batch["feats"] @ params["w"] + params["b"]
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = ctc_fn(lp, batch["feat_lens"], batch["tokens"],
+                         batch["token_lens"])
+            return nll.mean(), {}
+
+        return loss_fn
+
+    params = {
+        "w": jnp.asarray(
+            0.3 * rng.standard_normal((feat, vocab)).astype(np.float32)),
+        "b": jnp.zeros((vocab,), jnp.float32),
+    }
+
+    def batch(m):
+        return {
+            "feats": jnp.asarray(rng.standard_normal(
+                (m, bsz, t_len, feat)).astype(np.float32)),
+            "feat_lens": jnp.full((m, bsz), t_len, jnp.int32),
+            "tokens": jnp.asarray(rng.integers(
+                1, vocab, (m, bsz, u_len)).astype(np.int32)),
+            "token_lens": jnp.full((m, bsz), u_len, jnp.int32),
+        }
+
+    mb = {"support": batch(2), "query": batch(2)}
+    cfg = MetaAlgoConfig(inner_lr=0.05, inner_steps=2, first_order=False,
+                         remat_inner=True)
+    key = jax.random.PRNGKey(0)
+    g_p, m_p = maml_grads(make_loss(ctc_loss_pallas), cfg)(params, mb, key)
+    g_s, m_s = maml_grads(make_loss(ctc_loss), cfg)(params, mb, key)
+    np.testing.assert_allclose(float(m_p["meta_loss"]),
+                               float(m_s["meta_loss"]), rtol=1e-5)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(np.asarray(g_p[k]), np.asarray(g_s[k]),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_pallas_lstm_matches_scan(rng):
     """Pallas LSTM kernel (fwd + custom-VJP BPTT) vs the lax.scan LSTM."""
     from metaasr_tpu.ops.lstm_pallas import lstm_scan_reference, pallas_lstm

@@ -174,13 +174,31 @@ class DynamicBatcher:
             futs.append(item[1])
 
     def _dispatch_group(self, xs, futs, top_up: bool = True):
+        # Async input staging (r5, VERDICT r4 item 3): pad + START the
+        # group's feature upload BEFORE blocking on a device slot, so the
+        # H2D transfer of group i+1 overlaps group i's compute instead of
+        # riding the tunnel synchronously inside the dispatch. If the
+        # backlog drained after the slot freed grows the group, it is
+        # re-staged (only happens under overload, where the fuller bucket
+        # is worth the second upload).
+        stage = getattr(self.decoder, "_stage", None)
+        staged = None
+        if stage is not None:
+            try:
+                staged = stage(list(xs), self.params)
+            except Exception:
+                staged = None  # bucket errors re-raise in _dispatch below
         self._inflight.acquire()   # backpressure: wait for a device slot
+        n_staged = len(xs)
         if top_up:
             self._top_up(xs, futs)
         try:
             # enqueues on the device without synchronizing; the reader
             # thread owns the blocking host read (and releases the slot)
-            out, n = self.decoder._dispatch(xs, self.params)
+            if staged is not None and len(xs) == n_staged:
+                out, n = self.decoder._dispatch_staged(staged)
+            else:
+                out, n = self.decoder._dispatch(xs, self.params)
         except ValueError as e:
             self._inflight.release()
             # a group can be jointly unfittable while every member fits

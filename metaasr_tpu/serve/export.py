@@ -381,6 +381,9 @@ class ServingDecoder:
         # DynamicBatcher pass the same object per batch/group), so the
         # lm-merge + bf16 cast must not be repaid on every _dispatch
         self._swap_cache = None
+        import threading
+
+        self._swap_lock = threading.Lock()
 
     @property
     def buckets(self):
@@ -431,9 +434,48 @@ class ServingDecoder:
         for out, n in pending:
             yield self._read(out, n, nbest)
 
-    def _dispatch(self, xs, params):
-        """Pad one request to its bucket and enqueue the program (no
-        device sync). Returns (async outputs, n real rows)."""
+    def _resolve_params(self, params):
+        """Map a caller tree to its device-resident, dtype-cast form.
+
+        IMMUTABILITY CONTRACT (ADVICE r4): the single-entry cache keys on
+        object identity — callers must treat a params tree as immutable
+        once passed (meta_adapt returns fresh trees, so every real caller
+        already complies); mutating a tree in place and re-passing the
+        same object would silently serve the stale device copy. The lock
+        makes concurrent transcribe() callers safe (two alternating trees
+        thrash the single-entry cache — correct, just re-uploads).
+        """
+        if params is None:
+            return self.params
+        with self._swap_lock:
+            if (self._swap_cache is not None
+                    and self._swap_cache[0] is params):
+                return self._swap_cache[1]  # same tree as last dispatch
+            orig = params
+            if self.meta["has_lm"] and "__lm__" not in params:
+                params = dict(params)
+                params["__lm__"] = self.params["__lm__"]
+            if self.weights_dtype != "float32":
+                # hot-swapped (meta_adapt-ed) trees arrive fp32; the
+                # program's argument spec is bf16 — cast to match
+                params = cast_weights(params, self.weights_dtype)
+            # device-resident like self.params: without this every
+            # dispatch re-uploads the full tree (see __init__ note)
+            import jax as _jax
+
+            params = _jax.device_put(params)
+            # strong ref to orig keeps its id() live for the `is` check
+            self._swap_cache = (orig, params)
+            return params
+
+    def _stage(self, xs, params):
+        """Pad one request to its bucket and START its H2D upload
+        (non-blocking ``jax.device_put``). Staging is split from the
+        program call so a batcher can begin group i+1's feature upload
+        while group i still computes — r4's load bench measured the
+        padded features (~2 MB/group) riding the tunnel synchronously
+        inside the dispatch, capping saturation at 71% of the raw decode
+        bound (VERDICT r4 item 3 / docs/SERVE_BENCH.md)."""
         n = len(xs)
         widths = [int(np.shape(x)[0]) for x in xs]
         bsz, width = self._pick_bucket(n, max(widths))
@@ -450,27 +492,22 @@ class ServingDecoder:
         # dropped by _read
         for j in range(n, bsz):
             x[j] = x[n - 1]
-        if params is None:
-            params = self.params
-        elif self._swap_cache is not None and self._swap_cache[0] is params:
-            params = self._swap_cache[1]  # same tree as last dispatch
-        else:
-            orig = params
-            if self.meta["has_lm"] and "__lm__" not in params:
-                params = dict(params)
-                params["__lm__"] = self.params["__lm__"]
-            if self.weights_dtype != "float32":
-                # hot-swapped (meta_adapt-ed) trees arrive fp32; the
-                # program's argument spec is bf16 — cast to match
-                params = cast_weights(params, self.weights_dtype)
-            # device-resident like self.params: without this every
-            # dispatch re-uploads the full tree (see __init__ note)
-            import jax as _jax
+        params = self._resolve_params(params)
+        import jax as _jax
 
-            params = _jax.device_put(params)
-            # strong ref to orig keeps its id() live for the `is` check
-            self._swap_cache = (orig, params)
-        return self._fns[(bsz, width)](params, x, lens), n
+        return ((bsz, width), params, _jax.device_put(x),
+                _jax.device_put(lens), n)
+
+    def _dispatch_staged(self, staged):
+        """Enqueue the program on already-staged device inputs (no sync).
+        Returns (async outputs, n real rows)."""
+        bucket, params, x, lens, n = staged
+        return self._fns[bucket](params, x, lens), n
+
+    def _dispatch(self, xs, params):
+        """Pad one request to its bucket and enqueue the program (no
+        device sync). Returns (async outputs, n real rows)."""
+        return self._dispatch_staged(self._stage(xs, params))
 
     def _read(self, out, n: int, nbest: int):
         if self.meta.get("packed"):

@@ -135,6 +135,58 @@ class _StubDecoder:
         return [{"text": f"t{i}", "score": 0.0} for i in range(n)]
 
 
+class _StagingStub(_StubDecoder):
+    """Stub with the r5 staging split: records whether each dispatch used
+    the pre-staged (async-upload) path or the plain one."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.staged_calls = 0
+        self.staged_dispatches = 0
+        self.plain_dispatches = 0
+
+    def _stage(self, xs, params):
+        self.staged_calls += 1
+        return ("staged", list(range(len(xs))), len(xs))
+
+    def _dispatch_staged(self, staged):
+        tag, out, n = staged
+        assert tag == "staged"
+        self.staged_dispatches += 1
+        self.dispatched.append(n)
+        return out, n
+
+    def _dispatch(self, xs, params):
+        self.plain_dispatches += 1
+        return super()._dispatch(xs, params)
+
+
+def test_batcher_uses_prestaged_path_when_group_unchanged():
+    """r5 async staging (VERDICT r4 item 3): with no backlog growth after
+    the slot acquire, the batcher must dispatch the PRE-STAGED inputs
+    (upload already in flight) rather than re-padding."""
+    dec = _StagingStub(delay=0.005)
+    with DynamicBatcher(dec, max_wait_ms=1.0, max_inflight=2) as b:
+        for _ in range(4):
+            assert b.submit(np.zeros(10, np.float32)).result(timeout=10)
+    assert dec.staged_dispatches == 4
+    assert dec.plain_dispatches == 0
+
+
+def test_batcher_restages_when_topup_grows_group():
+    """When the backlog drained after a slot frees grows the group, the
+    stale staged buffer must NOT be dispatched — the bigger group goes
+    through the plain (re-staging) path so no request is dropped."""
+    dec = _StagingStub(delay=0.05, max_b=16)
+    with DynamicBatcher(dec, max_wait_ms=1.0, max_inflight=1) as b:
+        futs = [b.submit(np.zeros(10, np.float32)) for _ in range(48)]
+        for f in futs:
+            assert f.result(timeout=30)
+    assert sum(dec.dispatched) == 48   # every request served exactly once
+    assert dec.plain_dispatches >= 1   # overload coalescing re-staged
+    assert dec.staged_dispatches >= 1  # idle-ish groups rode the fast path
+
+
 def test_batcher_backpressure_grows_groups_under_overload():
     """r4 load-bench finding: without an inflight cap the dispatcher
     races ahead with tiny groups while the device is the bottleneck

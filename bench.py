@@ -38,6 +38,12 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_baseline.json")
 
 
+def _env_flag(name: str) -> bool:
+    """Experiment-hook env parsing: '' and '0' are OFF (ADVICE r4: bare
+    truthiness made FLAG=0 enable the experiment)."""
+    return os.environ.get(name, "") not in ("", "0")
+
+
 def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
                 k_shot: int = K_SUPPORT) -> float:
     import jax
@@ -68,10 +74,17 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
     cfg.model.dtype = "bfloat16"
     cfg.meta.inner_steps = INNER_STEPS
     task = ASRTask(cfg)
-    if os.environ.get("BENCH_SECOND_ORDER"):
-        # grad-of-grad can't pass through the Pallas CTC custom VJP;
-        # the MAML trainer makes the same switch (train/meta_train.py)
+    if _env_flag("BENCH_SECOND_ORDER"):
+        # r5: the Pallas CTC is second-order capable (custom-JVP rework),
+        # so grad-of-grad rides the same kernel the first-order path uses;
+        # require_full_autodiff now only swaps the (first-order-only)
+        # Pallas LSTM, a no-op for the transformer flagship.
+        # BENCH_CTC_IMPL=scan measures the old all-scan second-order path.
         task.require_full_autodiff()
+        if os.environ.get("BENCH_CTC_IMPL") == "scan":
+            from metaasr_tpu.ops.ctc import ctc_loss as scan_ctc
+
+            task._ctc_loss = scan_ctc
     rng = np.random.default_rng(0)
 
     def batch(bsz):
@@ -98,11 +111,17 @@ def measure_jax(steps: int = 20, m_tasks: int = M_TASKS,
         # experiment hook (not set by the driver): BENCH_SECOND_ORDER=1
         # measures full second-order MAML (grad-of-grad) at this workload
         # — used for the fp32-vs-bf16 MAML meta-step comparison
-        first_order=not os.environ.get("BENCH_SECOND_ORDER"),
+        first_order=not _env_flag("BENCH_SECOND_ORDER"),
         # BENCH_NO_REMAT=1 probes the memory/FLOPs trade at the current
         # workload: remat recomputes the inner forward in the backward to
         # bound HBM — at few task replicas the memory may fit anyway
-        remat_inner=not os.environ.get("BENCH_NO_REMAT"),
+        remat_inner=not _env_flag("BENCH_NO_REMAT"),
+        # BENCH_ADAPT_FILTER="decoder" (or "ctc_head,decoder") measures
+        # ANIL partial adaptation: frozen leaves' inner-loop gradient
+        # computation is dead-code-eliminated (meta/maml.py adapt_filter)
+        adapt_filter=tuple(
+            s for s in os.environ.get("BENCH_ADAPT_FILTER", "").split(",")
+            if s.strip()) or None,
         unroll_inner=True,
         # the shipped flagship default (configs/config3_fomaml.yaml):
         # bf16 meta-step — +5.5% here AND better 5-shot WER than fp32 at
@@ -217,7 +236,9 @@ def seq_baseline() -> float:
 def main():
     import __graft_entry__ as _ge
 
-    if not _ge._default_backend_responsive():
+    # retries=1 + the raised default budget (270 s > ~3.5 min cold init /
+    # retry): a healthy-but-cold attachment must not yield an error JSON
+    if not _ge._default_backend_responsive(retries=1):
         # the network-attached TPU's tunnel dies occasionally (see
         # ROUND3_NOTES.md infra note); emit one honest JSON line instead
         # of hanging the harness in backend init forever
@@ -241,10 +262,6 @@ def main():
     # — and it is the workload both cached baselines measure, so the
     # vs_* ratios are computed here (same-workload, apples to apples)
     value44, mfu44 = measure_jax()
-    compat = {"tasks": M_TASKS, "k_shot": K_SUPPORT,
-              "unique_utts_per_sec": round(value44 * 32 / 64, 2),
-              "presentations_per_sec": round(value44, 2),
-              "mfu": round(mfu44, 4) if mfu44 == mfu44 else None}
     base = torch_baseline()
     seq = seq_baseline()
     # Throughput accounting: `value`/headline counts each drawn utterance
@@ -257,6 +274,17 @@ def main():
     # ratios at the workload the cached baselines measure (4x4)
     vs = value44 / base if base == base else None  # nan check
     vs_seq = value44 / seq if seq == seq else None
+    # Ratios live INSIDE compat_4x4 (their workload; ADVICE r4: one record
+    # mixed two workloads under one metric name). The top-level vs_baseline
+    # is the driver contract and duplicates compat_4x4.vs_baseline, with
+    # ratio_workload naming where it was measured.
+    compat = {"tasks": M_TASKS, "k_shot": K_SUPPORT,
+              "unique_utts_per_sec": round(value44 * 32 / 64, 2),
+              "presentations_per_sec": round(value44, 2),
+              "mfu": round(mfu44, 4) if mfu44 == mfu44 else None,
+              "vs_baseline": round(vs, 2) if vs is not None else None,
+              "vs_samechip_sequential": (round(vs_seq, 2)
+                                         if vs_seq is not None else None)}
     # SEMANTICS FROZEN (r3+): `value` is UNIQUE utterances/s/chip — each
     # drawn utterance counted once per meta-step. r2's headline counted
     # presentations (support utts once per inner step), so BENCH_r02's
@@ -276,6 +304,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "vs_samechip_sequential": round(vs_seq, 2) if vs_seq is not None
         else None,
+        "ratio_workload": "4x4_compat",
         "presentations_per_sec": round(value, 2),
         "mfu": round(mfu, 4) if mfu == mfu else None,
         "baseline": "pytorch reference-style copy-the-model FOMAML (cpu, "

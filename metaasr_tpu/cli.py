@@ -195,6 +195,18 @@ def main(argv=None):
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
 
+    # Honor a caller's JAX_PLATFORMS choice: the axon sitecustomize
+    # re-pins jax_platforms at interpreter start, so without this a
+    # JAX_PLATFORMS=cpu invocation silently runs on the TPU (observed
+    # r4 — a "CPU" smoke contended with an on-chip sweep; and r5 — a
+    # cpu-exported bundle failed to serve). Same dance as
+    # tests/conftest.py and the bench scripts.
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+
     if args.debug_nans:
         from metaasr_tpu.utils.profiling import nan_check
 

@@ -191,6 +191,11 @@ def main():
         "from metaasr_tpu.meta.maml import split_lr\n"
         "from metaasr_tpu.train.checkpoint import save_params_npz\n"
         f"cfg = load_config(os.path.join({wd!r}, 'config.yaml'), {{}})\n"
+        # mirror cli.py: the checkpoint's PRNG-key leaf shape depends on
+        # the prng impl — restoring with the wrong impl's template fails
+        "if cfg.train.prng_impl:\n"
+        "    jax.config.update('jax_default_prng_impl',"
+        " cfg.train.prng_impl)\n"
         f"tr, tok = make_trainer(cfg, {wd!r})\n"
         "state, step = tr.ckpt.restore(tr.init_state())\n"
         "assert step >= 0, 'no checkpoint'\n"

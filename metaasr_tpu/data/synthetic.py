@@ -50,6 +50,8 @@ ACCENTS_HARD = ACCENTS + ("juliet", "lima", "mike", "november", "papa",
 
 def _accent_params(accent_idx: int, rng: np.random.Generator,
                    profile: str = "easy") -> dict:
+    if profile == "bpe":
+        profile = "hard"  # bpe = hard acoustics + big_lexicon text
     if profile == "hard":
         # Closer, OVERLAPPING transforms: pitch grid spacing ~3.5% (vs 8%
         # easy) with an interleaved ordering so accent id distance is not
@@ -126,6 +128,27 @@ def synth_utterance(text: str, accent_params: dict, rng: np.random.Generator,
     return (0.6 * wav / max(peak, 1e-6)).astype(np.float32)
 
 
+def big_lexicon(n_words: int = 700, seed: int = 7) -> list[str]:
+    """Large pseudo-word lexicon for BPE-scale vocabularies (r5): the
+    hand-written lexicons top out near ~130 distinct words, which caps a
+    learned BPE vocab near ~150 — too small to exercise the >=512-token
+    regime the beam search's ctc_candidates pruning exists for. Words are
+    CVCV..-shaped (pronounceable under the per-char tone renderer) and
+    deduplicated."""
+    rng = np.random.default_rng(seed)
+    cons, vow = "bcdfghjklmnprstvwz", "aeiou"
+    words: set[str] = set()
+    while len(words) < n_words:
+        n_syll = int(rng.integers(2, 4))
+        w = "".join(cons[int(rng.integers(len(cons)))]
+                    + vow[int(rng.integers(len(vow)))]
+                    for _ in range(n_syll))
+        if int(rng.integers(2)):
+            w += cons[int(rng.integers(len(cons)))]
+        words.add(w)
+    return sorted(words)
+
+
 def generate_dataset(data_dir: str, accents=ACCENTS, utts_per_accent: int = 64,
                      words_per_utt: tuple[int, int] = (2, 5), seed: int = 0,
                      sample_rate: int = 16000, write_wavs: bool = True,
@@ -136,9 +159,13 @@ def generate_dataset(data_dir: str, accents=ACCENTS, utts_per_accent: int = 64,
     spacing (confusable under pitch shifts), near-neighbor lexicon, 8%
     noise floor, per-utterance rate jitter, overlapping accent transforms.
     Pair with ``accents=ACCENTS_HARD`` and longer ``words_per_utt``.
+    ``profile='bpe'``: hard acoustics with the ``big_lexicon`` text
+    distribution (700 distinct words) so a learned BPE vocab reaches the
+    >=512-token regime (VERDICT r4 item 4).
     """
     os.makedirs(data_dir, exist_ok=True)
-    lexicon = LEXICON_HARD if profile == "hard" else LEXICON
+    lexicon = (big_lexicon() if profile == "bpe"
+               else LEXICON_HARD if profile == "hard" else LEXICON)
     master = np.random.default_rng(seed)
     for ai, accent in enumerate(accents):
         rng = np.random.default_rng(master.integers(2**31) + ai)

@@ -127,7 +127,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/flagship_runs")
     ap.add_argument("--out", default="/tmp/flagship_results.json")
     ap.add_argument("--utts-per-accent", type=int, default=192)
-    ap.add_argument("--profile", choices=("easy", "hard"), default="hard")
+    ap.add_argument("--profile", choices=("easy", "hard", "bpe"),
+                    default="hard",
+                    help="bpe: hard acoustics + 700-word big_lexicon text "
+                    "(for --vocab bpe large-vocab runs)")
     ap.add_argument("--algos", default="fomaml,multi",
                     help="comma list from fomaml,maml,reptile,multi")
     ap.add_argument("--grad-dtype", default="float32",
@@ -183,6 +186,18 @@ def main():
                     help="meta.adapt_widen_step (staged ANIL: leaves outside "
                          "--adapt-filter join the inner loop at this outer "
                          "step; requires --adapt-filter)")
+    ap.add_argument("--vocab", choices=("char", "bpe"), default="char",
+                    help="bpe: first-party BPE tokenizer learned from the "
+                    "corpus (--bpe-merges), exercising the large-vocab "
+                    "decode path (VERDICT r4 item 4)")
+    ap.add_argument("--bpe-merges", type=int, default=520,
+                    help="BPE merge count (vocab ~= base chars + merges)")
+    ap.add_argument("--tasks", type=int, default=None,
+                    help="meta.tasks_per_batch override (r5: promote a "
+                    "swept operating point with quality evidence)")
+    ap.add_argument("--k", type=int, default=None,
+                    help="meta.k_support/k_query override (training-time "
+                    "geometry; the 5-shot eval protocol is unchanged)")
     ap.add_argument("--adapt-filter", default=None,
                     help="meta.adapt_filter (ANIL partial inner adaptation; "
                          "comma-separated param-path substrings, e.g. "
@@ -196,21 +211,44 @@ def main():
 
     data_dir = args.data_dir or f"/tmp/flagship_synth_{args.profile}"
     if not os.path.exists(os.path.join(data_dir, f"{HELDOUT}.jsonl")):
-        if args.profile == "hard":
+        if args.profile in ("hard", "bpe"):
             generate_dataset(data_dir, accents=ACCENTS_HARD,
                              utts_per_accent=args.utts_per_accent,
-                             words_per_utt=(3, 6), seed=0, profile="hard")
+                             words_per_utt=(3, 6), seed=0,
+                             profile=args.profile)
         else:
             generate_dataset(data_dir,
                              utts_per_accent=args.utts_per_accent,
                              words_per_utt=(2, 4), seed=0)
-    tok = CharTokenizer.ascii_default()
+    if args.vocab == "bpe":
+        import json as _json
 
-    results = {"profile": args.profile, "steps": args.steps}
+        from metaasr_tpu.data.bpe import BPETokenizer
+        from metaasr_tpu.data.dataset import Manifest, discover_accents
+
+        texts = []
+        for accent in discover_accents(data_dir):
+            man = Manifest.load(os.path.join(data_dir, f"{accent}.jsonl"))
+            texts.extend(u.text for u in man.utts)
+        vocab_path = os.path.join(data_dir, "vocab_bpe.json")
+        if os.path.exists(vocab_path):
+            tok = BPETokenizer.load(vocab_path)
+        else:
+            tok = BPETokenizer.from_corpus(texts,
+                                           num_merges=args.bpe_merges)
+            tok.save(vocab_path)
+        print(_json.dumps({"bpe_vocab_size": tok.vocab_size}), flush=True)
+    else:
+        tok = CharTokenizer.ascii_default()
+
+    results = {"profile": args.profile, "steps": args.steps,
+               "vocab": args.vocab,
+               "vocab_size": tok.vocab_size}
     for algo in args.algos.split(","):
         cfg = make_cfg(algo, args.steps, data_dir, seed=args.seed,
                        grad_dtype=args.grad_dtype)
         cfg.model.vocab_size = tok.vocab_size
+        cfg.data.vocab = args.vocab
         cfg.model.encoder = args.encoder
         if args.learn_inner_lr and algo != "multi":
             cfg.meta.learn_inner_lr = True
@@ -220,6 +258,10 @@ def main():
             cfg.meta.inner_clip = args.inner_clip
         if args.adapt_filter is not None and algo != "multi":
             cfg.meta.adapt_filter = args.adapt_filter
+        if args.tasks is not None:
+            cfg.meta.tasks_per_batch = args.tasks
+        if args.k is not None:
+            cfg.meta.k_support = cfg.meta.k_query = args.k
         if args.inner_start is not None and algo != "multi":
             cfg.meta.inner_start_step = args.inner_start
         if args.adapt_widen is not None and algo != "multi":
@@ -235,7 +277,7 @@ def main():
             cfg.frontend.use_pallas = False
             cfg.meta.tasks_per_batch = 2
             cfg.data.max_frames = 200
-        dsets = load_accent_datasets(data_dir, tok)
+        dsets = load_accent_datasets(data_dir, tok, vocab=args.vocab)
         heldout = {HELDOUT: dsets.pop(HELDOUT)}
         task = ASRTask(cfg, tok.sos_eos_id)
         tag = algo if args.seed == 0 else f"{algo}@seed{args.seed}"

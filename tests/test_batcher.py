@@ -176,15 +176,42 @@ def test_batcher_uses_prestaged_path_when_group_unchanged():
 def test_batcher_restages_when_topup_grows_group():
     """When the backlog drained after a slot frees grows the group, the
     stale staged buffer must NOT be dispatched — the bigger group goes
-    through the plain (re-staging) path so no request is dropped."""
-    dec = _StagingStub(delay=0.05, max_b=16)
-    with DynamicBatcher(dec, max_wait_ms=1.0, max_inflight=1) as b:
-        futs = [b.submit(np.zeros(10, np.float32)) for _ in range(48)]
-        for f in futs:
-            assert f.result(timeout=30)
-    assert sum(dec.dispatched) == 48   # every request served exactly once
-    assert dec.plain_dispatches >= 1   # overload coalescing re-staged
-    assert dec.staged_dispatches >= 1  # idle-ish groups rode the fast path
+    through the plain (re-staging) path so no request is dropped.
+    White-box (no live threads): the load-path race of a queue-drain
+    growing the group is driven deterministically by parking a backlog
+    item in _in before calling _dispatch_group."""
+    import queue
+    import threading
+    from concurrent.futures import Future
+
+    dec = _StagingStub(delay=0.0)
+    b = DynamicBatcher.__new__(DynamicBatcher)  # no worker threads
+    b.decoder = dec
+    b.max_wait = 0.0
+    b.max_batch = 16
+    b.params = None
+    b.nbest = 1
+    b._inflight = threading.BoundedSemaphore(1)
+    b._stop_seen = False
+    b._max_width = 8000
+    b._in = queue.Queue()
+    b._pending = queue.Queue()
+    b.stats = {"batches": 0, "requests": 0}
+    b._closed = False
+
+    # backlog present: the post-slot top-up grows the group 1 -> 2, so
+    # the stale 1-item staged buffer must be discarded (plain re-stage)
+    b._in.put((np.zeros(10, np.float32), Future()))
+    b._dispatch_group([np.zeros(10, np.float32)], [Future()])
+    assert dec.staged_calls == 1
+    assert dec.plain_dispatches == 1 and dec.staged_dispatches == 0
+    assert dec.dispatched[-1] == 2     # both requests in one dispatch
+
+    # empty backlog: group unchanged -> the pre-staged buffer dispatches
+    b._inflight.release()              # reader thread would do this
+    b._dispatch_group([np.zeros(10, np.float32)], [Future()])
+    assert dec.staged_dispatches == 1
+    assert dec.plain_dispatches == 1   # unchanged
 
 
 def test_batcher_backpressure_grows_groups_under_overload():

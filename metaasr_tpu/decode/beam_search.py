@@ -51,9 +51,14 @@ class BeamSearchConfig:
     length_penalty: float = 0.0
     blank_id: int = BLANK_ID
     # CTC-score only the top-N attention candidates per hypothesis
-    # (ESPnet's ctc candidate pruning). 0 = score the full vocabulary.
+    # (ESPnet's ctc candidate pruning). 0 = auto: score the full
+    # vocabulary when it is small (<= FULL_SCORING_MAX_VOCAB), else
+    # prune to AUTO_CTC_CANDIDATES with a warning — full-vocab prefix
+    # scoring materializes [B, K, V, T] arrays per decode step, which is
+    # multi-GB at BPE vocabs and CRASHED the TPU worker at V=563 (r5).
+    # -1 forces full-vocab scoring regardless (expert/bench override).
     # eos is always included on top. Essential for large (BPE) vocabs:
-    # prefix-scan work scales with the candidate count, not |V|.
+    # prefix-scan work AND memory scale with the candidate count, not |V|.
     ctc_candidates: int = 0
     # rank final hypotheses by score / max(length, 1) (ESPnet's length
     # normalization) instead of the raw cumulative score
@@ -77,6 +82,32 @@ class BeamSearchConfig:
     # RNNLM-fusion semantics). Requires lm_step_fn/init_lm_state at the
     # batched_beam_search call. 0 = off.
     lm_weight: float = 0.0
+
+
+# Full-vocab CTC prefix scoring materializes [B, K, V, T] per decode
+# step; above this vocab the auto mode prunes instead (see
+# BeamSearchConfig.ctc_candidates). 128 keeps char/phone vocabs exact.
+FULL_SCORING_MAX_VOCAB = 128
+AUTO_CTC_CANDIDATES = 64
+
+
+def effective_ctc_candidates(vocab: int, requested: int) -> int:
+    """Resolve BeamSearchConfig.ctc_candidates: >0 explicit, -1 forced
+    full-vocab, 0 auto (full for small vocabs, pruned + warning past
+    FULL_SCORING_MAX_VOCAB — r5: an unguarded V=563 full-vocab decode
+    allocated multi-GB prefix arrays and crashed the TPU worker)."""
+    if requested > 0:
+        return min(requested, vocab)
+    if requested < 0 or vocab <= FULL_SCORING_MAX_VOCAB:
+        return 0
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "ctc_candidates=0 (full-vocab prefix scoring) with vocab=%d: "
+        "auto-pruning to top-%d candidates to bound the [B,K,V,T] prefix "
+        "arrays; set train.ctc_candidates explicitly (or -1 to force "
+        "full-vocab scoring) to silence this", vocab, AUTO_CTC_CANDIDATES)
+    return AUTO_CTC_CANDIDATES
 
 
 def ctc_prefix_step(ctc_logp: jax.Array, enc_lens: jax.Array,
@@ -220,8 +251,8 @@ def batched_beam_search(decoder_step_fn, init_caches,
         # per-step-only LM term would be dropped at the next reselection
         state["lm_cum"] = jnp.zeros((bsz, k), jnp.float32)
 
-    n_cand = vocab if cfg.ctc_candidates <= 0 else min(
-        cfg.ctc_candidates + 1, vocab)  # +1: eos always included
+    req = effective_ctc_candidates(vocab, cfg.ctc_candidates)
+    n_cand = vocab if req <= 0 else min(req + 1, vocab)  # +1: eos on top
 
     def step_fn(state, step_idx):
         # 1) batched decoder step on all hypotheses

@@ -186,6 +186,13 @@ def main():
                     help="meta.adapt_widen_step (staged ANIL: leaves outside "
                          "--adapt-filter join the inner loop at this outer "
                          "step; requires --adapt-filter)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; restore the workdir checkpoint "
+                    "and run the eval protocol (e.g. re-decode a crashed "
+                    "eval with different decode settings)")
+    ap.add_argument("--ctc-candidates", type=int, default=None,
+                    help="train.ctc_candidates for beam decode (0 auto, "
+                    "-1 force full-vocab)")
     ap.add_argument("--vocab", choices=("char", "bpe"), default="char",
                     help="bpe: first-party BPE tokenizer learned from the "
                     "corpus (--bpe-merges), exercising the large-vocab "
@@ -268,6 +275,8 @@ def main():
             cfg.meta.adapt_widen_step = args.adapt_widen
         if args.lr is not None:
             cfg.optimizer.lr = args.lr
+        if args.ctc_candidates is not None:
+            cfg.train.ctc_candidates = args.ctc_candidates
         if args.tiny:
             cfg.model.d_model, cfg.model.num_heads = 32, 2
             cfg.model.d_ff = 64
@@ -308,6 +317,13 @@ def main():
             cfg2.model.vocab_size = tok.vocab_size
             meta_tr = MetaASRTrainer(cfg2, task, dsets, heldout, tok,
                                      wd + "_eval")
+            avg_params = None
+        elif args.eval_only:
+            trainer = MetaASRTrainer(cfg, task, dsets, heldout, tok, wd)
+            state, step = trainer.ckpt.restore(trainer.init_state())
+            assert step >= 0, f"--eval-only: no checkpoint under {wd}"
+            print(f"[{algo}] eval-only from step {step}", flush=True)
+            meta_tr = trainer
             avg_params = None
         else:
             trainer = MetaASRTrainer(cfg, task, dsets, heldout, tok, wd)

@@ -322,3 +322,49 @@ def test_min_len_suppresses_early_eos(rng):
             np.testing.assert_allclose(np.asarray(out0["scores"][b, 0]),
                                        np.asarray(out["scores"][b, 0]),
                                        rtol=1e-5)
+
+
+def test_effective_ctc_candidates_auto_guard():
+    """r5: full-vocab prefix scoring materializes [B,K,V,T] per decode
+    step — an unguarded V=563 decode crashed the TPU worker. Auto mode
+    (0) keeps small vocabs exact, prunes large ones; -1 forces full."""
+    from metaasr_tpu.decode.beam_search import (
+        AUTO_CTC_CANDIDATES,
+        FULL_SCORING_MAX_VOCAB,
+        effective_ctc_candidates,
+    )
+
+    assert effective_ctc_candidates(30, 0) == 0          # small: exact
+    assert effective_ctc_candidates(FULL_SCORING_MAX_VOCAB, 0) == 0
+    assert effective_ctc_candidates(563, 0) == AUTO_CTC_CANDIDATES
+    assert effective_ctc_candidates(563, -1) == 0        # forced full
+    assert effective_ctc_candidates(563, 40) == 40       # explicit
+    assert effective_ctc_candidates(30, 99) == 30        # capped at V
+
+
+def test_beam_large_vocab_auto_prunes_and_runs(rng):
+    """A BPE-scale vocab decode with default (auto) settings must run —
+    bounded memory via auto candidate pruning — and produce valid ids."""
+    import jax.numpy as jnp
+
+    from metaasr_tpu.decode.beam_search import (
+        BeamSearchConfig,
+        beam_search_transformer,
+    )
+    from metaasr_tpu.models.transformer import TransformerASR
+
+    vocab, eos = 300, 299
+    model = TransformerASR(vocab_size=vocab, d_model=32, num_heads=2,
+                           d_ff=64, num_encoder_layers=2,
+                           num_decoder_layers=2, dropout=0.0)
+    feats = jnp.asarray(rng.standard_normal((2, 40, 80)), jnp.float32)
+    lens = jnp.full((2,), 40, jnp.int32)
+    toks = jnp.asarray(rng.integers(1, eos, (2, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens,
+                        jnp.pad(toks, ((0, 0), (1, 0)), constant_values=eos),
+                        jnp.full((2,), 5, jnp.int32))["params"]
+    out = beam_search_transformer(
+        model, params, feats, lens, eos,
+        BeamSearchConfig(beam_size=3, max_len=6, ctc_weight=0.3))
+    assert np.asarray(out["tokens"]).shape[:2] == (2, 3)
+    assert (np.asarray(out["tokens"]) < vocab).all()

@@ -5,6 +5,14 @@ cd /root/repo
 D=docs
 set -x
 
+# ---- B0: BPE eval rerun (training completed in chain 2; its eval
+# crashed the worker at full-vocab scoring — now re-decoded from the
+# saved checkpoint with candidate pruning) ----
+timeout 3600 python scripts/flagship_results.py --algos fomaml \
+  --grad-dtype bfloat16 --vocab bpe --profile bpe --seed 0 --eval-only \
+  --ctc-candidates 40 --out $D/flagship_bpe_r5.json \
+  --workdir /tmp/fr_bpe 2> /tmp/fr_bpe_eval.err
+
 # ---- P1: middle-ground adapt_filter throughput probes ----
 # acoustic-front + decoder: the accent shift is acoustic, so adapt the
 # subsampler + first two encoder layers + decoder (fast weights ~45%)

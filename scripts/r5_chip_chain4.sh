@@ -5,10 +5,7 @@
 cd /root/repo
 D=docs
 set -x
-# re-measure the BPE decode rows with the hoisted candidate gather
-timeout 2400 python scripts/decode_bench.py --bpe-only \
-  > $D/r5_sweeps/decode_bpe_r5_hoisted.jsonl \
-  2> $D/r5_sweeps/decode_bpe_r5_hoisted.err
+# (decode re-measure already done directly)
 timeout 5400 python scripts/flagship_results.py --algos fomaml \
   --grad-dtype bfloat16 --vocab bpe --profile bpe --seed 0 \
   --steps 5000 --ctc-candidates 40 \

@@ -458,3 +458,25 @@ def test_default_backend_responsive_fast_path():
     t0 = time.perf_counter()
     assert g._default_backend_responsive(timeout_s=0.001) is True
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_meta_batch_shardings_second_order_guard():
+    """r5: grad-of-grad through the strided subsampling conv with the
+    within-task k axis sharded over 'data' crashes XLA's GSPMD
+    partitioner (convolution_handler.cc:832 check failure — reproduced
+    with/without remat and with shardy). The MAML path must therefore
+    shard meta batches over 'task' only; FOMAML keeps ('task','data')."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from metaasr_tpu.parallel.mesh import make_mesh, meta_batch_shardings
+
+    mesh = make_mesh(num_task=4, devices=jax.devices("cpu")[:8])
+    x2d = np.zeros((4, 4, 10), np.float32)
+    x1d = np.zeros((4, 4), np.float32)
+
+    fo = meta_batch_shardings(mesh, second_order=False)
+    assert fo(x2d).spec == P("task", "data")
+    so = meta_batch_shardings(mesh, second_order=True)
+    assert so(x2d).spec == P("task")
+    assert so(x1d).spec == P("task")
